@@ -1,0 +1,276 @@
+"""Core graph data structures for TAGAN-TPU.
+
+The framework's fundamental data type is a **snapshot sequence**: T graph
+snapshots over a shared, persistent node-ID space. The reference passes
+ragged Python lists of per-snapshot tensors with explicit ``node_ids``
+(`/root/reference/src/tagan/model.py:188-230`); under XLA everything must
+be static-shape, so we map every sequence into a dense **slot space**:
+
+- the union of node IDs appearing anywhere in the sequence is sorted and
+  assigned slots ``0..n_unique-1`` (mirrors the reference's sorted-ID
+  mapping, model.py:200-204 / temporal_propagation.py:1263),
+- arrays are padded to static ``max_nodes`` / ``max_edges`` with validity
+  masks,
+- per-snapshot edges are kept both as a dense adjacency mask (the dense
+  MXU path — the reference densifies too, graph_attention.py:96-105)
+  and as padded COO/CSR (the sparse Pallas path).
+
+All arrays live in one pytree (`SnapshotSequence`) that jit/vmap/pjit
+can move as a unit. A batch of sequences is simply a stacked pytree with
+a leading batch axis (`batch_sequences`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SnapshotSequence:
+    """One temporal graph sequence in dense slot space. Shapes:
+
+    T = max_time (padded), N = max_nodes (padded), E = max_edges (padded).
+
+    x          f32[T, N, F_node]   node features per snapshot (slot space)
+    node_mask  bool[T, N]          node active at step t
+    adj        bool[T, N, N]       directed adjacency (no self loops)
+    edge_src   i32[T, E]           COO source slot (0 where padded)
+    edge_dst   i32[T, E]           COO destination slot
+    edge_mask  bool[T, E]          edge validity
+    edge_attr  f32[T, E, F_edge]   edge features (F_edge may be 0)
+    times      f32[T]              continuous timestamp per snapshot
+    time_mask  bool[T]             snapshot validity (sequences shorter than T)
+    node_ids   i32[N]              global node ID per slot (-1 = padding)
+    """
+    x: jax.Array
+    node_mask: jax.Array
+    adj: jax.Array
+    edge_src: jax.Array
+    edge_dst: jax.Array
+    edge_mask: jax.Array
+    edge_attr: jax.Array
+    times: jax.Array
+    time_mask: jax.Array
+    node_ids: jax.Array
+
+    @property
+    def num_steps(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def max_nodes(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def node_feature_dim(self) -> int:
+        return self.x.shape[2]
+
+    @property
+    def edge_feature_dim(self) -> int:
+        return self.edge_attr.shape[2]
+
+    def attention_mask(self, add_self_loops: bool = True) -> jax.Array:
+        """Dense attention mask per snapshot: adjacency (+ self loops for
+        active nodes), restricted to active x active slots.
+
+        Mirrors the reference densification + self-loop add
+        (graph_attention.py:96-105). Note the reference adds eye() for
+        *all* rows; padded slots here are masked off instead, which is
+        equivalent on active slots and keeps padding inert.
+        """
+        m = self.adj
+        if add_self_loops:
+            n = self.max_nodes
+            eye = jnp.eye(n, dtype=bool)
+            m = jnp.logical_or(m, eye[None, :, :])
+        pair = self.node_mask[:, :, None] & self.node_mask[:, None, :]
+        return jnp.logical_and(m, pair)
+
+
+# ---------------------------------------------------------------------------
+# Host-side builders
+# ---------------------------------------------------------------------------
+
+SnapshotLike = Union[Dict[str, Any], Tuple]
+
+
+def _unpack_snapshot(snap: SnapshotLike):
+    """Accept the reference wire formats: dict with keys
+    {'x','edge_index','edge_attr','node_ids'[,'timestep']} or tuple
+    (x, edge_index, edge_attr, node_ids) — model.py:188-230."""
+    if isinstance(snap, dict):
+        x = snap["x"]
+        edge_index = snap["edge_index"]
+        edge_attr = snap.get("edge_attr", None)
+        node_ids = snap["node_ids"]
+        t = snap.get("timestep", None)
+    elif isinstance(snap, (tuple, list)):
+        if len(snap) < 4:
+            raise ValueError(
+                f"snapshot tuple needs >=4 elements, got {len(snap)}")
+        x, edge_index, edge_attr, node_ids = snap[:4]
+        t = snap[4] if len(snap) > 4 else None
+    else:
+        raise ValueError(f"unsupported snapshot type {type(snap)}")
+    x = np.asarray(x, dtype=np.float32)
+    edge_index = np.asarray(edge_index, dtype=np.int64)
+    if edge_index.size == 0:
+        edge_index = edge_index.reshape(2, 0)
+    if edge_attr is not None:
+        edge_attr = np.asarray(edge_attr, dtype=np.float32)
+    node_ids = [int(i) for i in node_ids]
+    return x, edge_index, edge_attr, node_ids, t
+
+
+def build_sequence(
+    snapshots: Sequence[SnapshotLike],
+    max_nodes: Optional[int] = None,
+    max_edges: Optional[int] = None,
+    max_time: Optional[int] = None,
+    edge_feature_dim: Optional[int] = None,
+) -> SnapshotSequence:
+    """Convert a ragged snapshot list (reference wire format) into a
+    static-shape `SnapshotSequence` (numpy; call `jax.device_put` or let
+    jit move it).
+    """
+    T = len(snapshots)
+    unpacked = [_unpack_snapshot(s) for s in snapshots]
+
+    all_ids = sorted({i for (_, _, _, ids, _) in unpacked for i in ids})
+    id_to_slot = {nid: s for s, nid in enumerate(all_ids)}
+    n_unique = len(all_ids)
+
+    N = max_nodes or n_unique
+    if n_unique > N:
+        raise ValueError(f"sequence has {n_unique} unique nodes > max_nodes={N}")
+    Emax = max_edges or max((u[1].shape[1] for u in unpacked), default=1) or 1
+    Tmax = max_time or T
+    if T > Tmax:
+        raise ValueError(f"sequence has {T} steps > max_time={Tmax}")
+    F_node = unpacked[0][0].shape[1]
+    if edge_feature_dim is None:
+        edge_feature_dim = 0
+        for (_, _, ea, _, _) in unpacked:
+            if ea is not None and ea.ndim == 2:
+                edge_feature_dim = ea.shape[1]
+                break
+    Fe = edge_feature_dim
+
+    x = np.zeros((Tmax, N, F_node), np.float32)
+    node_mask = np.zeros((Tmax, N), bool)
+    adj = np.zeros((Tmax, N, N), bool)
+    edge_src = np.zeros((Tmax, Emax), np.int32)
+    edge_dst = np.zeros((Tmax, Emax), np.int32)
+    edge_mask = np.zeros((Tmax, Emax), bool)
+    edge_attr = np.zeros((Tmax, Emax, Fe), np.float32)
+    times = np.zeros((Tmax,), np.float32)
+    time_mask = np.zeros((Tmax,), bool)
+    node_ids_arr = np.full((N,), -1, np.int32)
+    node_ids_arr[:n_unique] = np.asarray(all_ids, np.int32)
+
+    for t, (xt, ei, ea, ids, tv) in enumerate(unpacked):
+        slots = np.asarray([id_to_slot[i] for i in ids], np.int32)
+        x[t, slots] = xt[: len(ids)]
+        node_mask[t, slots] = True
+        E = ei.shape[1]
+        if E > Emax:
+            raise ValueError(f"snapshot {t} has {E} edges > max_edges={Emax}")
+        if E > 0:
+            # edge endpoints are row indices into the snapshot's x, which
+            # correspond to positions in node_ids (reference semantics:
+            # edge_index indexes rows of x).
+            src = slots[ei[0]]
+            dst = slots[ei[1]]
+            edge_src[t, :E] = src
+            edge_dst[t, :E] = dst
+            edge_mask[t, :E] = True
+            adj[t, src, dst] = True
+            if ea is not None and Fe > 0:
+                edge_attr[t, :E, :] = ea[:E, :Fe]
+        times[t] = float(tv) if tv is not None else float(t)
+        time_mask[t] = True
+
+    return SnapshotSequence(
+        x=jnp.asarray(x), node_mask=jnp.asarray(node_mask),
+        adj=jnp.asarray(adj), edge_src=jnp.asarray(edge_src),
+        edge_dst=jnp.asarray(edge_dst), edge_mask=jnp.asarray(edge_mask),
+        edge_attr=jnp.asarray(edge_attr), times=jnp.asarray(times),
+        time_mask=jnp.asarray(time_mask), node_ids=jnp.asarray(node_ids_arr))
+
+
+def batch_sequences(seqs: Sequence[SnapshotSequence]) -> SnapshotSequence:
+    """Stack same-shape sequences along a new leading batch axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *seqs)
+
+
+def pad_dims_for(
+    dataset: Sequence[Sequence[SnapshotLike]],
+) -> Tuple[int, int, int, int]:
+    """Scan a dataset of ragged sequences and return
+    (max_time, max_nodes, max_edges, edge_feature_dim) bucket dims."""
+    Tm, Nm, Em, Fe = 1, 1, 1, 0
+    for snapshots in dataset:
+        Tm = max(Tm, len(snapshots))
+        ids = set()
+        for s in snapshots:
+            _, ei, ea, nid, _ = _unpack_snapshot(s)
+            ids.update(nid)
+            Em = max(Em, ei.shape[1])
+            if ea is not None and ea.ndim == 2:
+                Fe = max(Fe, ea.shape[1])
+        Nm = max(Nm, len(ids))
+    return Tm, Nm, Em, Fe
+
+
+# ---------------------------------------------------------------------------
+# CSR conversion (device-side, sort-based) — feeds the Pallas kernels.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CSRSnapshots:
+    """Per-snapshot CSR with destination-sorted edges.
+
+    The SDDMM/SpMM kernels aggregate *into* destination nodes (attention
+    of dst over its in-neighbors, matching dense row=query semantics where
+    query i attends over columns j with adj[i, j]=1: here dst=query=i,
+    src=key=j, i.e. edges are (i -> j) pairs sorted by query i).
+
+    row_ptr  i32[T, N+1]  CSR offsets over queries
+    col      i32[T, E]    key/neighbor slot per edge (sorted by query)
+    perm     i32[T, E]    permutation mapping sorted order -> original COO
+    edge_mask bool[T, E]
+    """
+    row_ptr: jax.Array
+    col: jax.Array
+    perm: jax.Array
+    edge_mask: jax.Array
+
+
+def coo_to_csr(edge_q: jax.Array, edge_k: jax.Array, edge_mask: jax.Array,
+               num_nodes: int) -> CSRSnapshots:
+    """Sort padded COO edges by query node and build row pointers.
+
+    Works on a [T, E] batch of snapshots (vmapped sort). Padded edges are
+    pushed to the end (query index = num_nodes).
+    """
+    def one(q, k, m):
+        E = q.shape[0]
+        qkey = jnp.where(m, q, num_nodes)
+        order = jnp.argsort(qkey, stable=True)
+        q_sorted = qkey[order]
+        counts = jnp.zeros((num_nodes + 1,), jnp.int32).at[
+            jnp.minimum(q_sorted, num_nodes)].add(
+                jnp.where(q_sorted < num_nodes, 1, 0).astype(jnp.int32))
+        row_ptr = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts[:num_nodes])])
+        return row_ptr, k[order], order.astype(jnp.int32), m[order]
+
+    row_ptr, col, perm, mask = jax.vmap(one)(edge_q, edge_k, edge_mask)
+    return CSRSnapshots(row_ptr=row_ptr, col=col, perm=perm, edge_mask=mask)

@@ -1,0 +1,154 @@
+"""Dataset and loader for temporal graph sequences.
+
+The reference imports ``TemporalGraphDataset`` / ``TemporalGraphDataLoader``
+from a ``src/tagan/data`` package that does not exist in the repo (bug B1,
+SURVEY.md §2.7); their contracts are reconstructed from the call sites
+(`/root/reference/example.py:105-127`, `run_tagan_social_media.py:365`,
+`training/trainer.py:295-300`) and implemented here TPU-first:
+
+* ``TemporalGraphDataset`` — holds ragged sequences + labels;
+  ``__getitem__`` -> (sequence, label); ``get_statistics()``.
+* ``TemporalGraphDataLoader`` — batches sequences into **static-shape
+  padded `SnapshotSequence` pytrees** (bucketed to the dataset's max
+  dims so every batch compiles once), yields
+  ``(SnapshotSequence batch, labels f32/i32[B])``.
+
+Unlike a torch loader, batches here are jit-ready device arrays; the
+loader pads the final partial batch to full size with a validity mask so
+XLA sees one batch shape per epoch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.graph import (SnapshotSequence, batch_sequences, build_sequence,
+                          pad_dims_for)
+
+
+class TemporalGraphDataset:
+    """Sequences + labels (reconstructed contract, example.py:105-107)."""
+
+    def __init__(self, data: Sequence, labels: Optional[Sequence] = None):
+        if labels is None:
+            # accept [(sequence, label)] pairs
+            self.sequences = [s for s, _ in data]
+            self.labels = [l for _, l in data]
+        else:
+            self.sequences = list(data)
+            self.labels = list(labels)
+        assert len(self.sequences) == len(self.labels)
+
+    def __len__(self) -> int:
+        return len(self.sequences)
+
+    def __getitem__(self, idx: int):
+        return self.sequences[idx], self.labels[idx]
+
+    def get_statistics(self) -> dict:
+        """Dataset stats (run_tagan_social_media.py:107 contract)."""
+        Tm, Nm, Em, Fe = pad_dims_for(self.sequences)
+        num_steps = [len(s) for s in self.sequences]
+        labels = np.asarray(self.labels, dtype=np.float64)
+        return {
+            "num_sequences": len(self.sequences),
+            "max_time_steps": Tm,
+            "mean_time_steps": float(np.mean(num_steps)) if num_steps else 0,
+            "max_nodes": Nm,
+            "max_edges": Em,
+            "edge_feature_dim": Fe,
+            "label_mean": float(labels.mean()) if len(labels) else 0.0,
+            "label_counts": {float(v): int(c) for v, c in
+                             zip(*np.unique(labels, return_counts=True))},
+        }
+
+    def split(self, fractions=(0.7, 0.15, 0.15), seed: int = 42):
+        """70/15/15 split (preprocess_social_media.py:423-444 semantics)."""
+        n = len(self)
+        idx = np.random.default_rng(seed).permutation(n)
+        n_train = int(fractions[0] * n)
+        n_val = int(fractions[1] * n)
+        parts = (idx[:n_train], idx[n_train:n_train + n_val],
+                 idx[n_train + n_val:])
+        return tuple(
+            TemporalGraphDataset([self.sequences[i] for i in part],
+                                 [self.labels[i] for i in part])
+            for part in parts)
+
+
+class TemporalGraphDataLoader:
+    """Static-shape batching loader (reconstructed contract,
+    example.py:111-127 / trainer.py:295-300).
+
+    Yields (SnapshotSequence stacked batch, labels, sample_mask) where
+    sample_mask marks real (non-pad) sequences in the final batch.
+    """
+
+    def __init__(self, dataset: TemporalGraphDataset, batch_size: int = 16,
+                 shuffle: bool = False, seed: int = 0,
+                 max_time: Optional[int] = None,
+                 max_nodes: Optional[int] = None,
+                 max_edges: Optional[int] = None,
+                 edge_feature_dim: Optional[int] = None,
+                 drop_remainder: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        Tm, Nm, Em, Fe = pad_dims_for(dataset.sequences) \
+            if len(dataset) else (1, 1, 1, 0)
+        self.max_time = max_time or Tm
+        self.max_nodes = max_nodes or Nm
+        self.max_edges = max_edges or max(Em, 1)
+        self.edge_feature_dim = Fe if edge_feature_dim is None \
+            else edge_feature_dim
+        self._epoch = 0
+        self._cache: List[Optional[SnapshotSequence]] = [None] * len(dataset)
+
+    def _built(self, i: int) -> SnapshotSequence:
+        if self._cache[i] is None:
+            self._cache[i] = build_sequence(
+                self.dataset.sequences[i], max_nodes=self.max_nodes,
+                max_edges=self.max_edges, max_time=self.max_time,
+                edge_feature_dim=self.edge_feature_dim)
+        return self._cache[i]
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[SnapshotSequence, jnp.ndarray,
+                                         jnp.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(
+                self.seed + self._epoch).permutation(n)
+        self._epoch += 1
+        bs = self.batch_size
+        labels_np = np.asarray(self.dataset.labels)
+        label_dtype = jnp.int32 if np.issubdtype(labels_np.dtype,
+                                                 np.integer) else jnp.float32
+        for start in range(0, n, bs):
+            idx = order[start:start + bs]
+            if len(idx) < bs:
+                if self.drop_remainder:
+                    return
+                pad = np.concatenate([idx, np.repeat(idx[-1:],
+                                                     bs - len(idx))])
+                mask = np.zeros(bs, bool)
+                mask[: len(idx)] = True
+                idx_full = pad
+            else:
+                mask = np.ones(bs, bool)
+                idx_full = idx
+            seqs = [self._built(int(i)) for i in idx_full]
+            batch = batch_sequences(seqs)
+            labels = jnp.asarray(labels_np[idx_full], dtype=label_dtype)
+            yield batch, labels, jnp.asarray(mask)

@@ -1,0 +1,366 @@
+"""TAGAN model assembly.
+
+TPU-native re-design of the reference ``TAGAN``
+(`/root/reference/src/tagan/model.py:22-660`). One sequence is processed
+as a pure function over a static-shape `SnapshotSequence` (slot space);
+batches are `jax.vmap` over stacked sequences — which fixes the
+reference's row-0-only batch pooling (bug B4, model.py:394-427).
+
+Pipeline (model.py:158-473):
+  1. node/edge embedding Linears (:64-69, :233-239)
+  2. num_layers x graph attention per snapshot, first-layer residual skip
+     ``x = attn(x) + LN(skip)`` (:244-262) — snapshots processed with one
+     vmap over the time axis instead of a Python loop (:213)
+  3. temporal propagation with the functional memory bank (:276-309).
+     ``compat_mode='executed'`` bypasses it, replicating the fallback the
+     reference always takes (bug B2); 'intended' runs the full pipeline.
+  4. asymmetric temporal attention over the time axis per node slot
+     (:320-375). In 'executed' mode no time stamps or mask are passed
+     (the reference's mask coercion fails and it retries unmasked,
+     :362-375); in 'intended' mode continuous times + the layer's
+     time/causal masks are active.
+  5. node -> graph mean pooling per timestep (:377-427). 'intended':
+     masked mean over active nodes; 'executed': the reference's
+     ``view(T, -1, H)`` reinterpretation of the [N, T, H] tensor
+     followed by an unmasked mean (numerical quirk replicated for
+     Oracle-A parity).
+  6. classification head (:430) and loss (:433-446). Note the reference's
+     loss_type 'ce'/'bce' fall through TemporalLossFunction to MSE on
+     logits (:563-565); 'executed' mode replicates that, 'intended' maps
+     them to proper CE/BCE.
+
+Decision thresholds in the reference differ per call site (0.65
+forward / 0.25 infer / 0.5 metrics — bug B8); this framework computes
+probabilities and leaves thresholding to callers (default 0.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import module as M
+from ..core.config import TAGANConfig
+from ..core.graph import SnapshotSequence
+from ..core.memory import MemoryState, init_memory
+from .geometric import GraphAttention
+from .heads import ClassificationModule, RegressionModule, temporal_loss
+from .propagation import TemporalPropagation
+from .temporal_attention import AsymmetricTemporalAttention
+
+
+class TAGANOutput(NamedTuple):
+    logits: jax.Array
+    predictions: jax.Array
+    loss: Optional[jax.Array]
+    memory: Optional[MemoryState]
+    temporal_attention_weights: Optional[jax.Array]
+    geometric_attention_weights: Optional[jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class TAGAN:
+    config: TAGANConfig
+
+    # -- submodules (wiring mirrors model.py:39-146) ----------------------
+    @property
+    def graph_attention(self) -> GraphAttention:
+        c = self.config
+        return GraphAttention(
+            hidden_dim=c.hidden_dim, num_heads=c.num_heads,
+            dropout=c.dropout, distance_metric=c.effective_distance_metric,
+            use_layer_norm=c.use_layer_norm,
+            learnable_distance=c.learnable_distance,
+            use_edge_bias=c.use_edge_features and c.edge_feature_dim > 0)
+
+    @property
+    def temporal_propagation(self) -> TemporalPropagation:
+        c = self.config
+        return TemporalPropagation(
+            input_dim=c.hidden_dim, hidden_dim=c.hidden_dim,
+            dropout=c.dropout, time_aware=c.time_aware,
+            bidirectional=c.bidirectional, use_layer_norm=c.use_layer_norm,
+            use_skip_connection=c.use_skip_connection,
+            use_gating=c.use_gating, window_size=c.temporal_window_size,
+            aggregation=c.aggregation_method, residual=c.use_residual,
+            memory_decay_factor=0.8,            # model.py:59
+            max_inactivity=c.temporal_window_size)  # model.py:60
+
+    @property
+    def temporal_attention(self) -> AsymmetricTemporalAttention:
+        c = self.config
+        return AsymmetricTemporalAttention(
+            hidden_dim=c.hidden_dim, num_heads=c.num_heads,
+            dropout=c.dropout, causal=c.causal_attention, time_aware=True,
+            use_layer_norm=c.use_layer_norm,
+            asymmetric_window_size=c.window_size,
+            future_discount=c.future_discount,
+            relative_position_bias=c.asymmetric_temporal_bias,
+            max_relative_position=c.max_relative_position,
+            time_encoding_type=c.time_encoding_type,
+            use_time_masks=c.use_time_masks, max_time_diff=c.max_time_diff)
+
+    @property
+    def classification_head(self) -> ClassificationModule:
+        c = self.config
+        return ClassificationModule(
+            hidden_dim=c.hidden_dim, output_dim=c.output_dim,
+            task_type=c.loss_type, pooling_type=c.pooling_type,
+            dropout=c.dropout, num_layers=c.head_num_layers,
+            use_layer_norm=c.use_layer_norm, multi_task=False)
+
+    # -- params -----------------------------------------------------------
+    def init(self, key: jax.Array) -> M.Params:
+        c = self.config
+        ks = M.split_keys(key, ["node_emb", "edge_emb", "layers", "prop",
+                                "tattn", "head"])
+        p: M.Params = {
+            "node_embedding": M.init_linear(ks["node_emb"],
+                                            c.node_feature_dim, c.hidden_dim),
+        }
+        if c.edge_feature_dim > 0:
+            p["edge_embedding"] = M.init_linear(
+                ks["edge_emb"], c.edge_feature_dim, c.hidden_dim)
+        lkeys = jax.random.split(ks["layers"], c.num_layers)
+        p["geometric_layers"] = {
+            f"layer_{i}": self.graph_attention.init(lkeys[i])
+            for i in range(c.num_layers)}
+        p["temporal_propagation"] = self.temporal_propagation.init(ks["prop"])
+        p["temporal_attention"] = self.temporal_attention.init(ks["tattn"])
+        p["classification_head"] = self.classification_head.init(ks["head"])
+        if c.use_layer_norm:
+            p["skip_layer_norm"] = M.init_layer_norm(c.hidden_dim)
+        return p
+
+    # -- forward ----------------------------------------------------------
+    def encode_spatial(
+        self, p: M.Params, seq: SnapshotSequence, *,
+        deterministic: bool = True, rng: Optional[jax.Array] = None,
+        return_weights: bool = False,
+    ):
+        """Steps 1-2: embedding + per-snapshot geometric attention with the
+        first-layer skip. Returns [T, N, hidden] (+ first-layer weights)."""
+        c = self.config
+        x = M.linear(p["node_embedding"], seq.x)       # [T, N, hidden]
+        skip = x
+        adj = seq.attention_mask()                     # bool [T, N, N]
+
+        edge_feats = None
+        if c.use_edge_features and c.edge_feature_dim > 0 \
+                and "edge_embedding" in p:
+            # dense [T, N, N, hidden] bias source from embedded edge_attr
+            ea = M.linear(p["edge_embedding"], seq.edge_attr)  # [T, E, H]
+            T, N = seq.x.shape[0], seq.x.shape[1]
+            dense = jnp.zeros((T, N, N, c.hidden_dim), ea.dtype)
+            t_idx = jnp.arange(T)[:, None]
+            dense = dense.at[t_idx, seq.edge_src, seq.edge_dst].add(
+                ea * seq.edge_mask[..., None])
+            edge_feats = dense
+
+        ga = self.graph_attention
+        first_weights = None
+        for i in range(c.num_layers):
+            lp = p["geometric_layers"][f"layer_{i}"]
+            if not deterministic and rng is not None:
+                rng, r = jax.random.split(rng)
+                rs = jax.random.split(r, x.shape[0])
+            else:
+                rs = None
+
+            def apply_one(xt, at, ef, rt, lp=lp):
+                return ga(lp, xt, at, ef, deterministic=deterministic,
+                          rng=rt, return_weights=return_weights)
+
+            in_axes = [0, 0, 0 if edge_feats is not None else None,
+                       0 if rs is not None else None]
+            out = jax.vmap(apply_one, in_axes=tuple(in_axes))(
+                x, adj, edge_feats, rs)
+            if return_weights:
+                x, w = out
+                if i == 0:
+                    first_weights = w
+            else:
+                x = out
+            if i == 0:   # first-layer skip (model.py:256-262)
+                if c.use_layer_norm:
+                    x = x + M.layer_norm(p["skip_layer_norm"], skip)
+                else:
+                    x = x + skip
+        return (x, first_weights) if return_weights else x
+
+    def __call__(
+        self,
+        p: M.Params,
+        seq: SnapshotSequence,
+        labels: Optional[jax.Array] = None,
+        memory: Optional[MemoryState] = None,
+        *,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+        return_attention_weights: bool = False,
+    ) -> TAGANOutput:
+        c = self.config
+        T, N = seq.x.shape[0], seq.x.shape[1]
+        executed = c.compat_mode == "executed"
+
+        r_sp = r_prop = r_ta = r_head = None
+        if not deterministic and rng is not None:
+            rng, r_sp, r_prop, r_ta, r_head = jax.random.split(rng, 5)
+
+        enc = self.encode_spatial(p, seq, deterministic=deterministic,
+                                  rng=r_sp,
+                                  return_weights=return_attention_weights)
+        if return_attention_weights:
+            x, geo_weights = enc
+        else:
+            x, geo_weights = enc, None
+
+        # zero inactive slots: a node absent at t contributes a zero row,
+        # matching the reference's zero-padding before temporal stacking
+        # (temporal_attention.py:955-964)
+        x = jnp.where(seq.node_mask[..., None], x, 0.0)
+
+        # step 3: temporal propagation (or the executed-path bypass, B2)
+        new_memory = memory
+        if executed:
+            temporal_out = x
+        else:
+            prop = self.temporal_propagation
+            out = prop(p["temporal_propagation"], x, seq.node_mask,
+                       seq.times if c.time_aware else None, memory,
+                       deterministic=deterministic, rng=r_prop)
+            temporal_out = jnp.where(seq.node_mask[..., None],
+                                     out.features, 0.0)
+            new_memory = out.memory
+
+        # step 4: temporal attention per node slot over time
+        nt = jnp.swapaxes(temporal_out, 0, 1)          # [N, T, hidden]
+        ta = self.temporal_attention
+        if executed:
+            time_stamps = None       # fallback ran without them (:350-375)
+            attn_mask = None
+        else:
+            time_stamps = jnp.broadcast_to(seq.times[None, :], (N, T))
+            attn_mask = None
+        res = ta(p["temporal_attention"], nt, time_stamps=time_stamps,
+                 attention_mask=attn_mask, deterministic=deterministic,
+                 rng=r_ta, return_weights=return_attention_weights)
+        if return_attention_weights:
+            nt, temp_weights = res
+        else:
+            nt, temp_weights = res, None
+
+        # step 5: node -> graph pooling per timestep
+        if executed:
+            # reference view(T, -1, H) reinterpretation + unmasked mean
+            # (model.py:409-416)
+            scrambled = nt.reshape(T, N, c.hidden_dim)
+            graph_feats = jnp.mean(scrambled, axis=1)  # [T, hidden]
+        else:
+            back = jnp.swapaxes(nt, 0, 1)              # [T, N, hidden]
+            m = seq.node_mask[..., None].astype(back.dtype)
+            denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+            graph_feats = jnp.sum(back * m, axis=1) / denom
+
+        graph_feats = graph_feats[None]                # [1, T, hidden]
+        time_mask = None if executed else seq.time_mask[None]
+
+        # step 6: head + loss
+        head = self.classification_head
+        logits = head(p["classification_head"], graph_feats, time_mask,
+                      deterministic=deterministic, rng=r_head)
+        logits = logits[0]                             # [output_dim]
+
+        loss = None
+        if labels is not None:
+            labels_f = labels.astype(jnp.float32) \
+                if labels.dtype == bool else labels
+            loss = self.compute_loss(logits, labels_f)
+
+        if c.output_dim == 1:
+            predictions = jax.nn.sigmoid(logits)
+        else:
+            predictions = jax.nn.softmax(logits, axis=-1)
+
+        return TAGANOutput(logits=logits, predictions=predictions,
+                           loss=loss, memory=new_memory,
+                           temporal_attention_weights=temp_weights,
+                           geometric_attention_weights=geo_weights)
+
+    def compute_loss(self, logits: jax.Array, labels: jax.Array
+                     ) -> jax.Array:
+        """Loss dispatch (model.py:433-446). logits [output_dim] or
+        [B, output_dim]; labels scalar/int per sequence."""
+        c = self.config
+        lg = logits if logits.ndim > 1 else logits[None]
+        lb = labels if labels.ndim > 0 else labels[None]
+        if c.output_dim > 1 and lb.ndim == lg.ndim - 1:
+            # multi-class with index labels: plain CE (model.py:439-441)
+            return temporal_loss(lg, lb, task_type="multi_class")
+        if c.compat_mode == "executed" and c.loss_type in ("ce", "bce"):
+            # reference TemporalLossFunction falls through to MSE on
+            # logits for these names (classification.py:563-565)
+            sq = lg[..., 0] if (c.output_dim == 1 and lg.ndim == lb.ndim + 1)\
+                else lg
+            return temporal_loss(sq, lb.astype(sq.dtype), task_type="mse")
+        task = {"ce": "multi_class", "bce": "classification"}.get(
+            c.loss_type, c.loss_type)
+        if c.output_dim == 1 and task in ("classification", "focal"):
+            sq = lg[..., 0] if lg.ndim == lb.ndim + 1 else lg
+            return temporal_loss(sq, lb.astype(sq.dtype), task_type=task,
+                                 focal_alpha=c.focal_alpha,
+                                 focal_gamma=c.focal_gamma)
+        return temporal_loss(lg, lb, task_type=task,
+                             focal_alpha=c.focal_alpha,
+                             focal_gamma=c.focal_gamma)
+
+    # -- inference helpers (model.py:475-536) -----------------------------
+    def infer(self, p: M.Params, seq: SnapshotSequence,
+              threshold: float = 0.5) -> Dict[str, jax.Array]:
+        out = self(p, seq, deterministic=True)
+        if self.config.output_dim == 1:
+            hard = (out.predictions > threshold).astype(jnp.float32)
+        else:
+            hard = jnp.argmax(out.predictions, axis=-1)
+        return {"logits": out.logits, "predictions": out.predictions,
+                "labels": hard}
+
+    def infer_with_attention(self, p: M.Params, seq: SnapshotSequence):
+        out = self(p, seq, deterministic=True,
+                   return_attention_weights=True)
+        return {"logits": out.logits, "predictions": out.predictions,
+                "temporal_attention_weights": out.temporal_attention_weights,
+                "geometric_attention_weights":
+                    out.geometric_attention_weights}
+
+    def init_memory(self, max_nodes: int) -> MemoryState:
+        return init_memory(max_nodes, self.config.hidden_dim)
+
+
+# ---------------------------------------------------------------------------
+# Batched wrappers
+# ---------------------------------------------------------------------------
+
+def batched_forward(model: TAGAN, p: M.Params, batch: SnapshotSequence,
+                    labels: Optional[jax.Array] = None, *,
+                    deterministic: bool = True,
+                    rng: Optional[jax.Array] = None) -> TAGANOutput:
+    """vmap the per-sequence forward over a stacked batch (leading axis).
+    Loss is averaged across the batch; this is the B4 fix — every
+    sequence contributes, not just row 0."""
+    B = batch.x.shape[0]
+    rngs = jax.random.split(rng, B) if rng is not None else None
+    rng_axis = 0 if rngs is not None else None
+
+    if labels is None:
+        def one(seq, r):
+            return model(p, seq, None, deterministic=deterministic, rng=r)
+        return jax.vmap(one, in_axes=(0, rng_axis))(batch, rngs)
+
+    def one(seq, label, r):
+        return model(p, seq, label, deterministic=deterministic, rng=r)
+    out = jax.vmap(one, in_axes=(0, 0, rng_axis))(batch, labels, rngs)
+    return out._replace(loss=jnp.mean(out.loss))

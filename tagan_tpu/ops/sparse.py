@@ -1,0 +1,110 @@
+"""Sparse attention ops: SDDMM, segment softmax, SpMM (XLA reference path).
+
+The reference densifies every snapshot's edge list into an N x N mask and
+runs full dense attention (`/root/reference/src/tagan/layers/graph_attention.py:96-105`
++ `geometric_attention.py:351-516`). The computation is structurally an
+SDDMM (one score per edge per head) -> per-destination segment softmax ->
+SpMM (edge-weighted neighbor aggregation). This module implements that
+pipeline in pure XLA (gather / segment_sum) — the correctness oracle and
+small-graph fallback. The Pallas TPU kernels in
+``tagan_tpu.ops.pallas`` implement the same interface for the hot path.
+
+Edge convention (matches `core.graph.SnapshotSequence`): an edge
+(src=i, dst=j) in ``adj[i, j]`` means query/row i attends to key j, i.e.
+for attention, scores are computed per (edge_q=i, edge_k=j) pair and the
+softmax normalizes over all edges sharing the same *query* i (plus the
+self loop the adapter adds).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .distances import edgewise_scores
+from .masked import NEG_INF
+
+
+def sddmm(
+    metric: str,
+    q: jax.Array,        # [H, N, D]
+    k: jax.Array,        # [H, N, D]
+    edge_q: jax.Array,   # i32[E] query node per edge
+    edge_k: jax.Array,   # i32[E] key node per edge
+    *,
+    sigma: Optional[jax.Array] = None,
+    gamma: Optional[jax.Array] = None,
+    cov_inv: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sampled dense-dense matmul: per-edge, per-head attention scores.
+    Returns [H, E]."""
+    q_e = jnp.take(q, edge_q, axis=1)   # [H, E, D]
+    k_e = jnp.take(k, edge_k, axis=1)
+    return edgewise_scores(metric, q_e, k_e, sigma=sigma, gamma=gamma,
+                           cov_inv=cov_inv)
+
+
+def segment_softmax(
+    scores: jax.Array,     # [H, E]
+    edge_q: jax.Array,     # i32[E]
+    edge_mask: jax.Array,  # bool[E]
+    num_nodes: int,
+) -> jax.Array:
+    """Softmax over all valid edges sharing a query node. Returns [H, E]
+    with zeros on masked edges."""
+    neg = jnp.asarray(NEG_INF, scores.dtype)
+    s = jnp.where(edge_mask[None, :], scores, neg)
+    seg_max = jax.ops.segment_max(s.T, edge_q, num_segments=num_nodes)  # [N, H]
+    seg_max = jnp.where(seg_max <= neg * 0.5, 0.0, seg_max)
+    centered = s - jnp.take(seg_max, edge_q, axis=0).T
+    e = jnp.exp(centered) * edge_mask[None, :].astype(scores.dtype)
+    denom = jax.ops.segment_sum(e.T, edge_q, num_segments=num_nodes)  # [N, H]
+    denom = jnp.where(denom == 0, 1.0, denom)
+    return e / jnp.take(denom, edge_q, axis=0).T
+
+
+def spmm(
+    weights: jax.Array,    # [H, E] attention weights
+    v: jax.Array,          # [H, N, D] values
+    edge_q: jax.Array,     # i32[E]
+    edge_k: jax.Array,     # i32[E]
+    num_nodes: int,
+) -> jax.Array:
+    """Edge-weighted neighbor aggregation: out[h, i] = sum_e w[h,e] v[h, k_e]
+    over edges with q_e == i. Returns [H, N, D]."""
+    v_e = jnp.take(v, edge_k, axis=1)                 # [H, E, D]
+    contrib = weights[:, :, None] * v_e               # [H, E, D]
+    # segment-sum per head over query ids
+    def per_head(c):
+        return jax.ops.segment_sum(c, edge_q, num_segments=num_nodes)
+    return jax.vmap(per_head)(contrib)
+
+
+def edge_attention(
+    metric: str,
+    q: jax.Array, k: jax.Array, v: jax.Array,   # [H, N, D]
+    edge_q: jax.Array, edge_k: jax.Array, edge_mask: jax.Array,
+    num_nodes: int,
+    *,
+    sigma=None, gamma=None, cov_inv=None,
+) -> jax.Array:
+    """Full sparse attention: SDDMM -> segment softmax -> SpMM.
+    Returns [H, N, D] aggregated context per query node."""
+    scores = sddmm(metric, q, k, edge_q, edge_k, sigma=sigma, gamma=gamma,
+                   cov_inv=cov_inv)
+    w = segment_softmax(scores, edge_q, edge_mask, num_nodes)
+    return spmm(w, v, edge_q, edge_k, num_nodes)
+
+
+def add_self_loops(edge_q: jax.Array, edge_k: jax.Array, edge_mask: jax.Array,
+                   node_mask: jax.Array):
+    """Append one self-loop edge per active node (the dense adapter adds
+    eye(), graph_attention.py:102). Returns extended (edge_q, edge_k,
+    edge_mask) with E + N entries."""
+    n = node_mask.shape[0]
+    loops = jnp.arange(n, dtype=edge_q.dtype)
+    return (jnp.concatenate([edge_q, loops]),
+            jnp.concatenate([edge_k, loops]),
+            jnp.concatenate([edge_mask, node_mask]))

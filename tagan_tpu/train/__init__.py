@@ -1,0 +1,3 @@
+from .metrics import (calculate_metrics, calculate_regression_metrics,
+                      calculate_graph_metrics, MetricsTracker)
+from .trainer import TAGANTrainer, make_optimizer

