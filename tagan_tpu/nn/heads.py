@@ -112,8 +112,11 @@ def temporal_loss(
     elif task_type == "sequence":
         loss = mse(p, t)
     elif task_type == "focal":
-        if p.shape[-1:] == (1,) or p.ndim == t.ndim:
-            # binary focal (:499-508, :538-541)
+        if p.ndim == 1 or p.shape[-1] == 1:
+            # binary focal (:499-508, :538-541). NOTE: the reference's
+            # binary branch is unreachable — its shape coercion squeezes
+            # [B,1] preds to [B] (:424-426) before the size(-1)==1 check;
+            # here 1-D/[B,1] inputs take the intended binary path.
             probs = jax.nn.sigmoid(p)
             p_t = jnp.where(t == 1, probs, 1.0 - probs)
             if focal_alpha is not None:
@@ -122,16 +125,23 @@ def temporal_loss(
                 alpha_t = jnp.ones_like(p_t)
             base = bce_with_logits(p, t)
         else:
-            # multi-class focal (:509-546)
+            # multi-class focal (:509-546): targets may be class indices
+            # [B] or one-hot/probabilistic [B, C]
             probs = jax.nn.softmax(p, axis=-1)
-            t_idx = t.astype(jnp.int32)
-            one_hot = jax.nn.one_hot(t_idx, p.shape[-1], dtype=p.dtype)
+            if t.ndim == p.ndim - 1:
+                one_hot = jax.nn.one_hot(t.astype(jnp.int32), p.shape[-1],
+                                         dtype=p.dtype)
+            else:
+                one_hot = t.astype(p.dtype)
             p_t = jnp.sum(probs * one_hot, axis=-1)
             if focal_alpha is not None:
                 alpha_t = jnp.full_like(p_t, focal_alpha)
             else:
                 alpha_t = jnp.ones_like(p_t)
-            base = cross_entropy(p, t_idx, class_weights)
+            logp = jax.nn.log_softmax(p, axis=-1)
+            w = class_weights if class_weights is not None \
+                else jnp.ones((p.shape[-1],), p.dtype)
+            base = -jnp.sum(one_hot * logp * w, axis=-1)
         loss = alpha_t * jnp.power(1.0 - p_t, focal_gamma) * base
     elif task_type == "huber":
         loss = smooth_l1(p, t, huber_delta)

@@ -609,7 +609,11 @@ class TemporalGRU:
         if self.use_layer_norm:
             p["ln_in"] = M.init_layer_norm(h)
             p["ln_h"] = M.init_layer_norm(h)
-            p["ln_out"] = M.init_layer_norm(h * self.direction_factor)
+            # NOTE: the reference sizes this LN as hidden*direction_factor
+            # (:120) but applies it AFTER the bidirectional output_proj
+            # back to hidden (:377, :387) — a crash (bidirectional
+            # TemporalGRU is unusable there). Sized correctly here.
+            p["ln_out"] = M.init_layer_norm(h)
         return p
 
     @staticmethod

@@ -104,7 +104,17 @@ class TimeEncoding:
     ) -> jax.Array:
         """Returns the encoding (shape of `time_values` + [d]) or
         x + encoding when `x` is given (:277-281)."""
-        if self.encoding_type == "basis" and time_values is not None:
+        if self.encoding_type == "basis" and time_values is None:
+            # undefined in the reference (falls into an unassigned-name
+            # except that returns x unchanged, :260-290); defined here as
+            # basis encoding of [0,1]-normalized integer positions.
+            if x is None:
+                raise ValueError("Either time_values or x must be provided")
+            s = x.shape[-2]
+            pos = jnp.broadcast_to(
+                jnp.arange(s, dtype=x.dtype) / max(s - 1, 1), x.shape[:-1])
+            encoding = self._basis_encode(p, pos)
+        elif self.encoding_type == "basis" and time_values is not None:
             tv = jnp.nan_to_num(time_values, nan=0.0)
             tmin, tmax = jnp.min(tv), jnp.max(tv)
             rng_ok = (tmax - tmin) > 1e-7
