@@ -1,23 +1,34 @@
 """Benchmark driver: prints ONE JSON line
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Primary metric: edges/s/chip through the per-snapshot geometric
-attention (the SDDMM + segment-softmax + SpMM workload — BASELINE.json
-north star). vs_baseline compares against the mounted PyTorch
-reference's GeometricAttention executing the same edge-masked dense
-attention on this host's CPU (the only hardware the reference supports
-here; it has no published numbers — BASELINE.md).
+Primary metric: edges/s/chip through the fused per-snapshot geometric
+attention (SDDMM + masked segment softmax + SpMM — BASELINE.json north
+star), using the Pallas flash kernel. vs_baseline compares against the
+mounted PyTorch reference's GeometricAttention executing the same
+edge-masked attention on this host's CPU (the only hardware the
+reference supports; it publishes no numbers — BASELINE.md).
 
-Config: the "distance-metric sweep"-shaped stress config — N nodes,
-deg-16 random graph, 8 heads — sized for one chip.
+Timing notes: on this image `block_until_ready` returns before remote
+TPU execution completes, so iterations are chained *inside* one jit with
+a data dependency and the result is materialized to host.
 """
 
 import json
-import os
 import sys
 import time
 
 import numpy as np
+
+
+def _workload(N=1024, deg=16, T=8, H=128, heads=8, seed=0):
+    rng = np.random.default_rng(seed)
+    E = N * deg
+    x = rng.standard_normal((T, N, H)).astype(np.float32)
+    adj = np.zeros((N, N), bool)
+    adj[rng.integers(0, N, E), rng.integers(0, N, E)] = True
+    np.fill_diagonal(adj, True)
+    n_edges = int(adj.sum()) * T
+    return x, adj, n_edges
 
 
 def bench_tagan_tpu(N=1024, deg=16, T=8, H=128, heads=8, iters=20):
@@ -25,31 +36,26 @@ def bench_tagan_tpu(N=1024, deg=16, T=8, H=128, heads=8, iters=20):
     import jax.numpy as jnp
     from tagan_tpu.nn import GeometricAttention
 
-    rng = np.random.default_rng(0)
-    E = N * deg
+    x_np, adj_np, n_edges = _workload(N, deg, T, H, heads)
     attn = GeometricAttention(hidden_dim=H, num_heads=heads, dropout=0.0,
                               distance_metric="scaled_dot_product")
     params = attn.init(jax.random.key(0))
-    x = jnp.asarray(rng.standard_normal((T, N, H)), jnp.float32)
-    adj_np = np.zeros((N, N), bool)
-    src = rng.integers(0, N, E)
-    dst = rng.integers(0, N, E)
-    adj_np[src, dst] = True
-    np.fill_diagonal(adj_np, True)
+    x = jnp.asarray(x_np)
     adj = jnp.asarray(np.broadcast_to(adj_np, (T, N, N)).copy())
 
     @jax.jit
-    def run(x):
-        return jax.vmap(lambda xt, at: attn(params, xt, at))(x, adj)
+    def run_many(x, adj):
+        def body(i, carry):
+            out = attn.apply_flash(params, x + carry * 1e-30, adj)
+            return out[:1, :1, :1] * 0.0 + out[0, 0, 0]
+        return jnp.sum(jax.lax.fori_loop(
+            0, iters, body, jnp.zeros((1, 1, 1), jnp.float32)))
 
-    run(x).block_until_ready()  # compile
+    float(run_many(x, adj))   # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(x)
-    out.block_until_ready()
+    float(run_many(x, adj))   # host materialization forces completion
     dt = (time.perf_counter() - t0) / iters
-    n_edges = int(adj_np.sum()) * T
-    return n_edges / dt, T / dt, dt
+    return n_edges / dt, T / dt
 
 
 def bench_reference_torch(N=1024, deg=16, T=8, H=128, heads=8, iters=3):
@@ -61,30 +67,23 @@ def bench_reference_torch(N=1024, deg=16, T=8, H=128, heads=8, iters=3):
         from src.tagan.layers.geometric_attention import GeometricAttention
         ref = GeometricAttention(hidden_dim=H, num_heads=heads, dropout=0.0,
                                  distance_metric="scaled_dot_product").eval()
-    rng = np.random.default_rng(0)
-    E = N * deg
-    x = torch.tensor(rng.standard_normal((T, N, H)).astype(np.float32))
-    adj_np = np.zeros((N, N), np.float32)
-    src = rng.integers(0, N, E)
-    dst = rng.integers(0, N, E)
-    adj_np[src, dst] = 1
-    np.fill_diagonal(adj_np, 1)
-    mask = torch.tensor(adj_np)[None]
+    x_np, adj_np, n_edges = _workload(N, deg, T, H, heads)
+    x = torch.tensor(x_np)
+    mask = torch.tensor(adj_np.astype(np.float32))[None]
 
     with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
-        for t in range(T):       # warmup one pass
+        for t in range(T):       # warmup
             ref(x[t:t + 1], mask)
         t0 = time.perf_counter()
         for _ in range(iters):
             for t in range(T):   # reference processes snapshots one by one
                 ref(x[t:t + 1], mask)
         dt = (time.perf_counter() - t0) / iters
-    n_edges = int(adj_np.sum()) * T
     return n_edges / dt
 
 
 def main():
-    edges_per_s, snaps_per_s, dt = bench_tagan_tpu()
+    edges_per_s, snaps_per_s = bench_tagan_tpu()
     try:
         ref_edges_per_s = bench_reference_torch()
         vs = edges_per_s / ref_edges_per_s

@@ -161,6 +161,57 @@ class GeometricAttention:
             return out, weights
         return out
 
+    # -- forward (Pallas flash backend) ----------------------------------
+    def apply_flash(
+        self,
+        p: M.Params,
+        x: jax.Array,                 # [N, hidden] or [T, N, hidden]
+        attention_mask: jax.Array,    # bool [N, N] or [T, N, N]
+        *,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+        block_m: int = 256,
+        block_n: int = 512,
+        max_blocks_per_row: Optional[int] = None,
+    ) -> jax.Array:
+        """Same semantics as the dense path but through the fused Pallas
+        flash kernel (ops.pallas.flash_geometric) — the [N, N] score
+        matrix never reaches HBM. Dropout on attention weights is not
+        available inside the fused kernel (weights are never
+        materialized); output dropout still applies."""
+        from ..ops.pallas.flash_geometric import (MXU_METRICS,
+                                                  flash_geometric_attention)
+        if self.distance_metric not in MXU_METRICS:
+            # manhattan / mahalanobis: not blockwise-MXU expressible
+            return self(p, x, attention_mask, deterministic=deterministic,
+                        rng=rng)
+        identity = x
+        h = M.layer_norm(p["ln1"], x) if self.use_layer_norm else x
+        q = self._split_heads(M.linear(p["q"], h))
+        k = self._split_heads(M.linear(p["k"], h))
+        v = self._split_heads(M.linear(p["v"], h))
+        sigma, gamma, _ = self._metric_params(p)
+        scale = sigma if sigma is not None else gamma
+
+        def one(qh, kh, vh, mh):
+            return flash_geometric_attention(
+                qh, kh, vh, mh, metric=self.distance_metric,
+                scale_param=scale, block_m=block_m, block_n=block_n,
+                max_blocks_per_row=max_blocks_per_row)
+
+        if x.ndim == 3:   # [T, N, hidden] snapshots
+            ctx = jax.vmap(one)(q, k, v, attention_mask)
+        else:
+            ctx = one(q, k, v, attention_mask)
+        ctx = self._merge_heads(ctx)
+        ctx = M.linear(p["o"], ctx)
+        if not deterministic and rng is not None:
+            ctx = M.dropout(ctx, self.dropout, deterministic=False, rng=rng)
+        out = ctx + identity
+        if self.use_layer_norm:
+            out = M.layer_norm(p["ln2"], out)
+        return out
+
     # -- forward (sparse/CSR backend) ------------------------------------
     def apply_sparse(
         self,

@@ -1,0 +1,93 @@
+"""Flash geometric attention kernel vs the XLA oracle.
+
+Runs the Pallas kernel in interpreter mode on CPU (real-TPU runs are
+covered by bench.py and the TPU smoke in CI-equivalent driver runs).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tagan_tpu.ops import distances as D
+from tagan_tpu.ops.masked import masked_softmax
+from tagan_tpu.ops.pallas import flash_geometric as FG
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    # the module imported `pl` itself; patch its reference too
+    monkeypatch.setattr(FG.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    yield
+
+
+def _data(N=70, H=2, Dh=16, density=0.4, seed=0, dead_row=True):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    adj = rng.random((N, N)) < density
+    np.fill_diagonal(adj, True)
+    if dead_row:
+        adj[3, :] = False
+    return q, k, v, jnp.asarray(adj)
+
+
+@pytest.mark.parametrize("metric", FG.MXU_METRICS)
+def test_flash_matches_oracle(metric):
+    q, k, v, adj = _data()
+    scale = jnp.full((2,), 0.7) if metric in ("gaussian_kernel",
+                                              "rbf_kernel") else None
+    got = FG.flash_geometric_attention.__wrapped__(
+        q, k, v, adj, metric=metric, scale_param=scale,
+        block_m=32, block_n=32)
+    sig = scale if metric == "gaussian_kernel" else None
+    gam = scale if metric == "rbf_kernel" else None
+    w = masked_softmax(D.pairwise_scores(metric, q, k, sigma=sig,
+                                         gamma=gam), adj[None])
+    want = jnp.einsum("hij,hjd->hid", w, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # dead row -> zeros
+    assert np.all(np.asarray(got)[:, 3] == 0)
+
+
+def test_flash_block_plan_paths():
+    """Plan reuse and max_blocks_per_row grid shrink give identical
+    results."""
+    q, k, v, adj = _data(N=96, density=0.15, dead_row=False)
+    base = FG.flash_geometric_attention.__wrapped__(
+        q, k, v, adj, block_m=32, block_n=32)
+    plan = FG.make_block_plan.__wrapped__(adj, 32, 32)
+    with_plan = FG.flash_geometric_attention.__wrapped__(
+        q, k, v, adj, block_m=32, block_n=32, plan=plan)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_plan),
+                               rtol=1e-6)
+    K = FG.occupied_blocks_bound(np.asarray(adj), 32, 32)
+    shrunk = FG.flash_geometric_attention.__wrapped__(
+        q, k, v, adj, block_m=32, block_n=32, max_blocks_per_row=K)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(shrunk),
+                               rtol=1e-6)
+
+
+def test_flash_layer_integration():
+    """GeometricAttention.apply_flash == dense __call__ path."""
+    from tagan_tpu.nn import GeometricAttention
+    attn = GeometricAttention(hidden_dim=32, num_heads=2, dropout=0.0)
+    params = attn.init(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((40, 32)), jnp.float32)
+    adj = rng.random((40, 40)) < 0.3
+    np.fill_diagonal(adj, True)
+    dense = attn(params, x, jnp.asarray(adj))
+    flash = attn.apply_flash(params, x, jnp.asarray(adj),
+                             block_m=16, block_n=16)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               rtol=2e-4, atol=2e-4)
