@@ -241,7 +241,14 @@ class TAGAN:
         ta = self.temporal_attention
         if executed:
             time_stamps = None       # fallback ran without them (:350-375)
-            attn_mask = None
+            # The reference passes an all-ones [T, T] mask whose coercion
+            # (unsqueeze -> tril multiply -> [T,T,T]) only broadcasts
+            # against [N, H, T, T] scores when T == num_heads — in which
+            # case the accidental effect is a causal mask; otherwise
+            # masked_fill raises and the retry runs unmasked
+            # (model.py:322-375). Reproduced faithfully:
+            from .temporal_attention import causal_mask
+            attn_mask = causal_mask(T) if T == c.num_heads else None
         else:
             time_stamps = jnp.broadcast_to(seq.times[None, :], (N, T))
             attn_mask = None
@@ -300,12 +307,15 @@ class TAGAN:
         if c.output_dim > 1 and lb.ndim == lg.ndim - 1:
             # multi-class with index labels: plain CE (model.py:439-441)
             return temporal_loss(lg, lb, task_type="multi_class")
-        if c.compat_mode == "executed" and c.loss_type in ("ce", "bce"):
-            # reference TemporalLossFunction falls through to MSE on
-            # logits for these names (classification.py:563-565)
+        if c.compat_mode == "executed":
+            # the reference's tensor-input loss path always routes to the
+            # module's *default* loss fn, which is built with
+            # task_type='classification' (BCE-with-logits) regardless of
+            # config.loss_type (classification.py:677-680, :730-732)
             sq = lg[..., 0] if (c.output_dim == 1 and lg.ndim == lb.ndim + 1)\
                 else lg
-            return temporal_loss(sq, lb.astype(sq.dtype), task_type="mse")
+            return temporal_loss(sq, lb.astype(sq.dtype),
+                                 task_type="classification")
         task = {"ce": "multi_class", "bce": "classification"}.get(
             c.loss_type, c.loss_type)
         if c.output_dim == 1 and task in ("classification", "focal"):
