@@ -134,13 +134,40 @@ def build_sequence(
     max_edges: Optional[int] = None,
     max_time: Optional[int] = None,
     edge_feature_dim: Optional[int] = None,
+    use_native: bool = True,
 ) -> SnapshotSequence:
     """Convert a ragged snapshot list (reference wire format) into a
     static-shape `SnapshotSequence` (numpy; call `jax.device_put` or let
-    jit move it).
+    jit move it). With ``use_native`` (default) the packing loops run in
+    the C++ packer (`tagan_tpu.native`) when the library is available;
+    the Python path below is the fallback and semantics oracle.
     """
     T = len(snapshots)
     unpacked = [_unpack_snapshot(s) for s in snapshots]
+
+    if use_native and T > 0:
+        from .. import native as _native
+        dims = _resolve_dims(unpacked, max_nodes, max_edges, max_time,
+                             edge_feature_dim)
+        if dims is not None:
+            N, Emax, Tmax, Fe = dims
+            try:
+                packed = _native.pack_sequence_native(
+                    unpacked, N, Emax, Tmax, Fe)
+            except ValueError:
+                raise
+            if packed is not None:
+                (x, node_mask, adj, edge_src, edge_dst, edge_mask,
+                 edge_attr, times, time_mask, node_ids) = packed
+                return SnapshotSequence(
+                    x=jnp.asarray(x), node_mask=jnp.asarray(node_mask),
+                    adj=jnp.asarray(adj), edge_src=jnp.asarray(edge_src),
+                    edge_dst=jnp.asarray(edge_dst),
+                    edge_mask=jnp.asarray(edge_mask),
+                    edge_attr=jnp.asarray(edge_attr),
+                    times=jnp.asarray(times),
+                    time_mask=jnp.asarray(time_mask),
+                    node_ids=jnp.asarray(node_ids))
 
     all_ids = sorted({i for (_, _, _, ids, _) in unpacked for i in ids})
     id_to_slot = {nid: s for s, nid in enumerate(all_ids)}
@@ -202,6 +229,31 @@ def build_sequence(
         edge_dst=jnp.asarray(edge_dst), edge_mask=jnp.asarray(edge_mask),
         edge_attr=jnp.asarray(edge_attr), times=jnp.asarray(times),
         time_mask=jnp.asarray(time_mask), node_ids=jnp.asarray(node_ids_arr))
+
+
+def _resolve_dims(unpacked, max_nodes, max_edges, max_time,
+                  edge_feature_dim):
+    """Resolve padded dims for a sequence (shared by the python and
+    native packers). Returns (N, Emax, Tmax, Fe)."""
+    all_ids = {i for (_, _, _, ids, _) in unpacked for i in ids}
+    n_unique = len(all_ids)
+    N = max_nodes or n_unique
+    if n_unique > N:
+        raise ValueError(
+            f"sequence has {n_unique} unique nodes > max_nodes={N}")
+    Emax = max_edges or max((u[1].shape[1] for u in unpacked),
+                            default=1) or 1
+    Tmax = max_time or len(unpacked)
+    if len(unpacked) > Tmax:
+        raise ValueError(
+            f"sequence has {len(unpacked)} steps > max_time={Tmax}")
+    if edge_feature_dim is None:
+        edge_feature_dim = 0
+        for (_, _, ea, _, _) in unpacked:
+            if ea is not None and ea.ndim == 2:
+                edge_feature_dim = ea.shape[1]
+                break
+    return N, Emax, Tmax, edge_feature_dim
 
 
 def batch_sequences(seqs: Sequence[SnapshotSequence]) -> SnapshotSequence:

@@ -12,3 +12,6 @@ from .heads import (TemporalPredictionHead, MultiTaskPredictionHead,
                     RegressionModule, TemporalLossModule, temporal_loss,
                     asymmetric_focal_loss, pool_temporal)
 from .model import TAGAN, TAGANOutput, batched_forward
+from .encdec import (TAGANEncoder, TAGANDecoder, TAGANEncoderDecoder,
+                     EncodedSequence, save_temporal_state,
+                     load_temporal_state)
