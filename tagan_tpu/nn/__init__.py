@@ -15,3 +15,5 @@ from .model import TAGAN, TAGANOutput, batched_forward
 from .encdec import (TAGANEncoder, TAGANDecoder, TAGANEncoderDecoder,
                      EncodedSequence, save_temporal_state,
                      load_temporal_state)
+from .spatial import (GeometricDistanceModule, SpatialPositionEncoding,
+                      GeometricTemporalAttention)
