@@ -89,8 +89,10 @@ class TAGANConfig:
     # snapshot. Data pipeline buckets sequences into these.
     max_nodes: int = 0          # 0 = infer from data at trace time
     max_edges: int = 0
-    # Compute path for per-snapshot attention: "dense" (N x N mask, MXU)
-    # or "csr" (Pallas SDDMM/SpMM over sorted edges).
+    # Compute path for per-snapshot attention: "dense" (N x N mask, MXU),
+    # "flash" (fused Pallas kernel, scores never in HBM), or "csr"
+    # (gather/segment SpMM over the edge list — XLA, for very sparse
+    # graphs on small chips).
     spatial_backend: str = "dense"
     # Compat: "intended" runs the full propagation+memory pipeline
     # (SURVEY.md §7.4 Oracle B wiring); "executed" reproduces the
@@ -134,8 +136,9 @@ class TAGANConfig:
         if self.distance_metric is not None and \
                 self.distance_metric not in VALID_DISTANCE_METRICS:
             raise ValueError(f"unknown distance_metric {self.distance_metric}")
-        if self.spatial_backend not in ("dense", "csr"):
-            raise ValueError("spatial_backend must be 'dense' or 'csr'")
+        if self.spatial_backend not in ("dense", "csr", "flash"):
+            raise ValueError(
+                "spatial_backend must be 'dense', 'csr', or 'flash'")
         if self.compat_mode not in ("intended", "executed"):
             raise ValueError("compat_mode must be 'intended' or 'executed'")
 

@@ -75,6 +75,12 @@ class SnapshotSequence:
     def edge_feature_dim(self) -> int:
         return self.edge_attr.shape[2]
 
+    @property
+    def has_dense_adj(self) -> bool:
+        """False when built with dense_adj=False (large graphs using the
+        flash/csr backends, which reconstruct masks from edge lists)."""
+        return self.adj.shape[-1] == self.max_nodes
+
     def attention_mask(self, add_self_loops: bool = True) -> jax.Array:
         """Dense attention mask per snapshot: adjacency (+ self loops for
         active nodes), restricted to active x active slots.
@@ -84,6 +90,11 @@ class SnapshotSequence:
         *all* rows; padded slots here are masked off instead, which is
         equivalent on active slots and keeps padding inert.
         """
+        if not self.has_dense_adj:
+            raise ValueError(
+                "sequence was built with dense_adj=False; the dense "
+                "attention path needs the adjacency — use the 'flash' or "
+                "'csr' spatial backend, or rebuild with dense_adj=True")
         m = self.adj
         if add_self_loops:
             n = self.max_nodes
@@ -135,12 +146,19 @@ def build_sequence(
     max_time: Optional[int] = None,
     edge_feature_dim: Optional[int] = None,
     use_native: bool = True,
+    dense_adj: bool = True,
 ) -> SnapshotSequence:
     """Convert a ragged snapshot list (reference wire format) into a
     static-shape `SnapshotSequence` (numpy; call `jax.device_put` or let
     jit move it). With ``use_native`` (default) the packing loops run in
     the C++ packer (`tagan_tpu.native`) when the library is available;
     the Python path below is the fallback and semantics oracle.
+
+    ``dense_adj=False`` skips materializing the [T, N, N] adjacency
+    (a placeholder [T, 1, 1] is stored) — required for large graphs
+    (N >~ 4K), where the flash/csr backends rebuild masks from the edge
+    lists and the dense tensor would dominate HBM and host->device
+    transfer.
     """
     T = len(snapshots)
     unpacked = [_unpack_snapshot(s) for s in snapshots]
@@ -151,11 +169,8 @@ def build_sequence(
                              edge_feature_dim)
         if dims is not None:
             N, Emax, Tmax, Fe = dims
-            try:
-                packed = _native.pack_sequence_native(
-                    unpacked, N, Emax, Tmax, Fe)
-            except ValueError:
-                raise
+            packed = _native.pack_sequence_native(
+                unpacked, N, Emax, Tmax, Fe, dense_adj=dense_adj)
             if packed is not None:
                 (x, node_mask, adj, edge_src, edge_dst, edge_mask,
                  edge_attr, times, time_mask, node_ids) = packed
@@ -191,7 +206,8 @@ def build_sequence(
 
     x = np.zeros((Tmax, N, F_node), np.float32)
     node_mask = np.zeros((Tmax, N), bool)
-    adj = np.zeros((Tmax, N, N), bool)
+    adj = np.zeros((Tmax, N if dense_adj else 1,
+                    N if dense_adj else 1), bool)
     edge_src = np.zeros((Tmax, Emax), np.int32)
     edge_dst = np.zeros((Tmax, Emax), np.int32)
     edge_mask = np.zeros((Tmax, Emax), bool)
@@ -217,7 +233,8 @@ def build_sequence(
             edge_src[t, :E] = src
             edge_dst[t, :E] = dst
             edge_mask[t, :E] = True
-            adj[t, src, dst] = True
+            if dense_adj:
+                adj[t, src, dst] = True
             if ea is not None and Fe > 0:
                 edge_attr[t, :E, :] = ea[:E, :Fe]
         times[t] = float(tv) if tv is not None else float(t)

@@ -4,6 +4,12 @@ The library is built lazily on first use (``make`` in this directory —
 a single translation unit, sub-second). If the toolchain is missing the
 callers fall back to the pure-Python implementations in `core.graph`;
 `is_available()` reports which path is active.
+
+Measured at 10K nodes / 20 snapshots (this host): pack-only 0.08s
+(dense_adj=False) / 1.36s (dense adjacency, page-fault bound) vs the
+Python packer's ~0.5s; end-to-end `build_sequence` times are dominated
+by the host->device transfer, where the two paths roughly tie at small
+scale and native is ~1.6x at 10K nodes.
 """
 
 from __future__ import annotations
@@ -59,6 +65,7 @@ def _load() -> Optional[ctypes.CDLL]:
         i64p, ctypes.c_int64,                    # unique ids
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # T, F, Fe
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # maxT, maxN, maxE
+        ctypes.c_int32,                          # dense_adj
         f32p, u8p, u8p, i32p, i32p, u8p, f32p, f32p, u8p, i32p,
     ]
 
@@ -74,7 +81,8 @@ def is_available() -> bool:
 
 
 def pack_sequence_native(unpacked, max_nodes: int, max_edges: int,
-                         max_time: int, edge_feature_dim: int):
+                         max_time: int, edge_feature_dim: int,
+                         dense_adj: bool = True):
     """Pack [(x, edge_index, edge_attr, node_ids, time)] via the C++
     packer. Returns numpy arrays in the core.graph layout, or None if
     the library is unavailable."""
@@ -126,7 +134,8 @@ def pack_sequence_native(unpacked, max_nodes: int, max_edges: int,
 
     x = np.zeros((max_time, max_nodes, Fn), np.float32)
     node_mask = np.zeros((max_time, max_nodes), np.uint8)
-    adj = np.zeros((max_time, max_nodes, max_nodes), np.uint8)
+    adj = np.zeros((max_time, max_nodes, max_nodes), np.uint8) \
+        if dense_adj else np.zeros((max_time, 1, 1), np.uint8)
     edge_src = np.zeros((max_time, max_edges), np.int32)
     edge_dst = np.zeros((max_time, max_edges), np.int32)
     edge_mask = np.zeros((max_time, max_edges), np.uint8)
@@ -140,6 +149,7 @@ def pack_sequence_native(unpacked, max_nodes: int, max_edges: int,
         node_counts, edge_counts, times_ptr,
         unique[:max(n_unique, 1)], n_unique,
         T, Fn, Fe, max_time, max_nodes, max_edges,
+        1 if dense_adj else 0,
         x, node_mask, adj, edge_src, edge_dst, edge_mask,
         edge_attr, times, time_mask, node_ids)
     if rc == -2:
@@ -148,9 +158,11 @@ def pack_sequence_native(unpacked, max_nodes: int, max_edges: int,
         raise ValueError(f"sequence has {T} steps > max_time={max_time}")
     if rc != 0:
         raise ValueError(f"native packer failed with code {rc}")
-    return (x, node_mask.astype(bool), adj.astype(bool), edge_src,
-            edge_dst, edge_mask.astype(bool), edge_attr, times,
-            time_mask.astype(bool), node_ids)
+    # uint8 0/1 -> bool is a zero-copy reinterpret (astype would copy
+    # the [T, N, N] adjacency — gigabytes at 10K nodes)
+    return (x, node_mask.view(bool), adj.view(bool), edge_src,
+            edge_dst, edge_mask.view(bool), edge_attr, times,
+            time_mask.view(bool), node_ids)
 
 
 def coo_to_csr_native(edge_q: np.ndarray, edge_k: np.ndarray,

@@ -70,6 +70,7 @@ int32_t tagan_pack_sequence(
     const int64_t* unique_ids, int64_t n_unique,
     int64_t num_steps, int64_t feat_dim, int64_t edge_feat_dim,
     int64_t max_time, int64_t max_nodes, int64_t max_edges,
+    int32_t dense_adj,   // 0: skip adjacency entirely (adj_out may be 1x1)
     // outputs
     float* x_out, uint8_t* node_mask_out, uint8_t* adj_out,
     int32_t* edge_src_out, int32_t* edge_dst_out, uint8_t* edge_mask_out,
@@ -81,7 +82,8 @@ int32_t tagan_pack_sequence(
     // zero all outputs
     std::memset(x_out, 0, sizeof(float) * max_time * max_nodes * feat_dim);
     std::memset(node_mask_out, 0, max_time * max_nodes);
-    std::memset(adj_out, 0, max_time * max_nodes * max_nodes);
+    if (dense_adj)
+        std::memset(adj_out, 0, max_time * max_nodes * max_nodes);
     std::memset(edge_src_out, 0, sizeof(int32_t) * max_time * max_edges);
     std::memset(edge_dst_out, 0, sizeof(int32_t) * max_time * max_edges);
     std::memset(edge_mask_out, 0, max_time * max_edges);
@@ -128,7 +130,8 @@ int32_t tagan_pack_sequence(
             edge_src_out[t * max_edges + e] = (int32_t)ss;
             edge_dst_out[t * max_edges + e] = (int32_t)sd;
             edge_mask_out[t * max_edges + e] = 1;
-            adj_out[(t * max_nodes + ss) * max_nodes + sd] = 1;
+            if (dense_adj)
+                adj_out[(t * max_nodes + ss) * max_nodes + sd] = 1;
             if (edge_feat_dim > 0)
                 std::memcpy(edge_attr_out
                                 + (t * max_edges + e) * edge_feat_dim,

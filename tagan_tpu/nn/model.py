@@ -146,7 +146,6 @@ class TAGAN:
         c = self.config
         x = M.linear(p["node_embedding"], seq.x)       # [T, N, hidden]
         skip = x
-        adj = seq.attention_mask()                     # bool [T, N, N]
 
         edge_feats = None
         if c.use_edge_features and c.edge_feature_dim > 0 \
@@ -161,7 +160,56 @@ class TAGAN:
             edge_feats = dense
 
         ga = self.graph_attention
+        use_flash = (c.spatial_backend == "flash" and not return_weights
+                     and edge_feats is None)
+        use_csr = (c.spatial_backend == "csr" and not return_weights
+                   and edge_feats is None)
         first_weights = None
+
+        if use_flash or use_csr:
+            # Sparse backends never touch the dense [T, N, N] adjacency:
+            # masks/edge-lists are built per snapshot inside a sequential
+            # lax.map, so peak HBM is O(N^2) per step (flash) or O(E)
+            # (csr), not O(T * N^2). These paths run without attention
+            # dropout (the fused kernel never materializes weights).
+            N = seq.x.shape[1]
+
+            def _layers(xx, attend):
+                sk = xx
+                for i in range(c.num_layers):
+                    lp = p["geometric_layers"][f"layer_{i}"]
+                    xx = attend(lp["attn"], xx)
+                    if i == 0:
+                        if c.use_layer_norm:
+                            xx = xx + M.layer_norm(p["skip_layer_norm"],
+                                                   sk)
+                        else:
+                            xx = xx + sk
+                return xx
+
+            if use_flash:
+                def one_step(args):
+                    xt, eq, ek, em, nm = args
+                    mask = jnp.zeros((N, N), jnp.int8)
+                    mask = mask.at[eq, ek].max(em.astype(jnp.int8))
+                    diag = jnp.arange(N)
+                    mask = mask.at[diag, diag].max(nm.astype(jnp.int8))
+                    return _layers(xt, lambda lp, xx: ga.inner.apply_flash(
+                        lp, xx, mask, deterministic=True))
+            else:
+                from ..ops.sparse import add_self_loops
+
+                def one_step(args):
+                    xt, eq, ek, em, nm = args
+                    eq2, ek2, em2 = add_self_loops(eq, ek, em, nm)
+                    return _layers(xt, lambda lp, xx: ga.inner.apply_sparse(
+                        lp, xx, eq2, ek2, em2, nm, deterministic=True))
+
+            x = jax.lax.map(one_step, (x, seq.edge_src, seq.edge_dst,
+                                       seq.edge_mask, seq.node_mask))
+            return (x, None) if return_weights else x
+
+        adj = seq.attention_mask()                     # bool [T, N, N]
         for i in range(c.num_layers):
             lp = p["geometric_layers"][f"layer_{i}"]
             if not deterministic and rng is not None:

