@@ -102,6 +102,10 @@ class TAGANConfig:
     # Numerics: params/accum in fp32; set bf16_matmul for MXU-friendly
     # mixed precision on the attention/linear contractions.
     bf16_matmul: bool = False
+    # Rematerialization: recompute per-snapshot attention activations in
+    # the backward pass instead of storing them (jax.checkpoint) — trades
+    # FLOPs for HBM on long sequences / large graphs.
+    remat: bool = False
 
     def __post_init__(self):
         self.validate()

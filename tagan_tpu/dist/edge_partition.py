@@ -1,0 +1,139 @@
+"""Edge-partitioned sparse attention over the graph mesh axis.
+
+The TAGAN analog of tensor parallelism (SURVEY.md §2.9): each chip on
+the ``graph`` axis owns a contiguous shard of node slots plus every edge
+whose *query* endpoint lives in that shard. One attention step is then:
+
+  1. ``all_gather`` the key/value node features over the graph axis
+     (rides ICI; O(N·D) per chip — the feature matrix is small relative
+     to edge compute for the target configs),
+  2. local SDDMM + segment softmax + SpMM for the shard's queries —
+     softmax normalization is exact because *all* edges of a query live
+     on its owner,
+  3. outputs stay sharded by query owner (no reduction needed).
+
+This is the explicit `shard_map` + collective formulation of what the
+GSPMD path in `dist/spmd.py` derives automatically; it exists both as
+the scalable building block for >HBM graphs (each chip only ever holds
+its edge shard) and as the place where a Pallas
+``make_async_remote_copy`` halo exchange can later replace the
+all-gather for boundary-only traffic.
+
+Partitioning helper: `partition_edges_by_query` reorders a padded COO
+edge list so edges land on their query's owner shard, padded per shard.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import sparse as S
+from .mesh import GRAPH_AXIS
+
+
+def partition_edges_by_query(
+    edge_q: np.ndarray, edge_k: np.ndarray, edge_mask: np.ndarray,
+    num_nodes: int, num_shards: int,
+    max_edges_per_shard: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Host-side: group edges by query-owner shard (owner = slot //
+    (N/num_shards)), pad each shard's list to a common static length.
+
+    Returns (edge_q [S, Ep], edge_k [S, Ep], edge_mask [S, Ep], Ep).
+    Padded entries point at the owner's first slot with mask=False.
+    """
+    assert num_nodes % num_shards == 0, (num_nodes, num_shards)
+    per = num_nodes // num_shards
+    eq = np.asarray(edge_q)
+    ek = np.asarray(edge_k)
+    em = np.asarray(edge_mask).astype(bool)
+    owner = eq // per
+    buckets_q, buckets_k = [], []
+    for s in range(num_shards):
+        sel = em & (owner == s)
+        buckets_q.append(eq[sel])
+        buckets_k.append(ek[sel])
+    Ep = max_edges_per_shard or max((len(b) for b in buckets_q),
+                                    default=1) or 1
+    out_q = np.zeros((num_shards, Ep), np.int32)
+    out_k = np.zeros((num_shards, Ep), np.int32)
+    out_m = np.zeros((num_shards, Ep), bool)
+    for s in range(num_shards):
+        n = len(buckets_q[s])
+        if n > Ep:
+            raise ValueError(
+                f"shard {s} has {n} edges > max_edges_per_shard={Ep}")
+        out_q[s, :n] = buckets_q[s]
+        out_k[s, :n] = buckets_k[s]
+        out_m[s, :n] = True
+        out_q[s, n:] = s * per     # padded edges point at owned slot 0
+        out_k[s, n:] = s * per
+    return out_q, out_k, out_m, Ep
+
+
+def edge_partitioned_attention(
+    mesh: Mesh,
+    metric: str,
+    q: jax.Array,            # [H, N, D]   (will be sharded over N)
+    k: jax.Array,            # [H, N, D]
+    v: jax.Array,            # [H, N, D]
+    edge_q: jax.Array,       # i32[S, Ep] from partition_edges_by_query
+    edge_k: jax.Array,       # i32[S, Ep]
+    edge_mask: jax.Array,    # bool[S, Ep]
+    *,
+    sigma=None, gamma=None,
+) -> jax.Array:
+    """Sharded edge attention: returns [H, N, D] context, sharded over
+    the graph axis by query owner."""
+    H, N, D = q.shape
+    g = mesh.shape[GRAPH_AXIS]
+    per = N // g
+
+    node_spec = P(None, GRAPH_AXIS, None)
+    edge_spec = P(GRAPH_AXIS, None)
+
+    def local(q_l, k_l, v_l, eq_l, ek_l, em_l):
+        # q_l/k_l/v_l: [H, N/g, D] local shards; e*_l: [1, Ep]
+        kg = jax.lax.all_gather(k_l, GRAPH_AXIS, axis=1, tiled=True)
+        vg = jax.lax.all_gather(v_l, GRAPH_AXIS, axis=1, tiled=True)
+        my = jax.lax.axis_index(GRAPH_AXIS)
+        eq_local = eq_l[0] - my * per          # owner-local query ids
+        ctx = S.edge_attention(metric, q_l, kg, vg, eq_local, ek_l[0],
+                               em_l[0], per, sigma=sigma, gamma=gamma)
+        return ctx
+
+    shard_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(node_spec, node_spec, node_spec,
+                  edge_spec, edge_spec, edge_spec),
+        out_specs=node_spec)
+
+    dev = NamedSharding(mesh, node_spec)
+    q = jax.device_put(q, dev)
+    k = jax.device_put(k, dev)
+    v = jax.device_put(v, dev)
+    es = NamedSharding(mesh, edge_spec)
+    edge_q = jax.device_put(jnp.asarray(edge_q), es)
+    edge_k = jax.device_put(jnp.asarray(edge_k), es)
+    edge_mask = jax.device_put(jnp.asarray(edge_mask), es)
+    return shard_fn(q, k, v, edge_q, edge_k, edge_mask)
+
+
+def scaling_report(mesh: Mesh, edges_per_sec_1chip: float,
+                   edges_per_sec_mesh: float) -> dict:
+    """Scaling-efficiency counter (BASELINE north-star metric):
+    efficiency = (mesh throughput / chips) / single-chip throughput."""
+    n = mesh.devices.size
+    per_chip = edges_per_sec_mesh / n
+    return {
+        "chips": int(n),
+        "edges_per_sec_total": edges_per_sec_mesh,
+        "edges_per_sec_per_chip": per_chip,
+        "scaling_efficiency": per_chip / edges_per_sec_1chip
+        if edges_per_sec_1chip > 0 else 0.0,
+    }

@@ -205,6 +205,8 @@ class TAGAN:
                     return _layers(xt, lambda lp, xx: ga.inner.apply_sparse(
                         lp, xx, eq2, ek2, em2, nm, deterministic=True))
 
+            if c.remat:
+                one_step = jax.checkpoint(one_step)
             x = jax.lax.map(one_step, (x, seq.edge_src, seq.edge_dst,
                                        seq.edge_mask, seq.node_mask))
             return (x, None) if return_weights else x
@@ -222,6 +224,8 @@ class TAGAN:
                 return ga(lp, xt, at, ef, deterministic=deterministic,
                           rng=rt, return_weights=return_weights)
 
+            if c.remat and not return_weights:
+                apply_one = jax.checkpoint(apply_one)
             in_axes = [0, 0, 0 if edge_feats is not None else None,
                        0 if rs is not None else None]
             out = jax.vmap(apply_one, in_axes=tuple(in_axes))(
