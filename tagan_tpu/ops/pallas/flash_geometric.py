@@ -85,8 +85,12 @@ def _block_scores(metric: str, q, k, scale_param, true_d: int,
     raise NotImplementedError(metric)
 
 
+LSE_DEAD = 1e30   # stored logsumexp for rows with no valid edges:
+                  # exp(s - LSE_DEAD) underflows to exactly 0 in backward
+
+
 def _flash_kernel(jlist_ref, jcount_ref, scale_ref,
-                  q_ref, k_ref, v_ref, mask_ref, o_ref,
+                  q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                   acc_ref, m_ref, l_ref, *, metric: str, n_j: int,
                   true_d: int, bf16: bool):
     """Block-sparse flash body. The grid's j axis walks a *compacted*
@@ -136,6 +140,8 @@ def _flash_kernel(jlist_ref, jcount_ref, scale_ref,
         l = l_ref[:]
         safe = jnp.where(l > 0.0, l, 1.0)
         o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+        lse = jnp.where(l > 0.0, m_ref[:] + jnp.log(safe), LSE_DEAD)
+        lse_ref[0] = lse          # [BM, 1] block of the (H, Np, 1) array
 
 
 def _round_up(x: int, m: int) -> int:
@@ -208,19 +214,25 @@ def _flash_diff(q, k, v, mask, metric, block_m, block_n, bf16,
 
 def _flash_diff_fwd(q, k, v, mask, metric, block_m, block_n, bf16,
                     max_blocks_per_row):
-    out = _flash_forward(q, k, v, mask, metric=metric, block_m=block_m,
-                         block_n=block_n, bf16=bf16,
-                         max_blocks_per_row=max_blocks_per_row)
-    return out, (q, k, v, mask)
+    out, lse = _flash_forward(q, k, v, mask, metric=metric,
+                              block_m=block_m, block_n=block_n, bf16=bf16,
+                              max_blocks_per_row=max_blocks_per_row,
+                              return_lse=True)
+    return out, (q, k, v, mask, out, lse)
 
 
 def _flash_diff_bwd(metric, block_m, block_n, bf16, max_blocks_per_row,
                     res, g):
-    # Backward recomputes attention through the dense XLA formulation
-    # and differentiates that — O(N^2) HBM only during the backward
-    # pass (a fused Pallas backward kernel is future work; forward
-    # stays HBM-free).
-    q, k, v, mask = res
+    q, k, v, mask, out, lse = res
+    if metric in BWD_METRICS:
+        # flash backward kernels: [N, N] scores recomputed blockwise in
+        # VMEM, never in HBM
+        dq, dk, dv = flash_geometric_attention_bwd(
+            q, k, v, mask, out, lse, g, metric=metric,
+            block_m=block_m, block_n=block_n)
+        return dq, dk, dv, None
+    # remaining metrics (kernel/cosine families): recompute through the
+    # dense XLA formulation — O(N^2) HBM only during backward
     _, vjp = jax.vjp(
         lambda q_, k_, v_: _xla_reference(metric, q_, k_, v_, mask, None),
         q, k, v)
@@ -270,9 +282,12 @@ def _flash_forward(
     bf16: bool = False,
     max_blocks_per_row: Optional[int] = None,
     plan=None,    # optional precomputed (jlist, jcount) from make_block_plan
+    return_lse: bool = False,
 ) -> jax.Array:
     """Fused edge-masked attention for one snapshot. Returns [H, N, D]
-    context (rows with an empty mask row come back zero).
+    context (rows with an empty mask row come back zero); with
+    ``return_lse`` also the per-row logsumexp [H, N] (LSE_DEAD on empty
+    rows) consumed by the Pallas backward.
 
     max_blocks_per_row: static upper bound on occupied [BM, BN] key
     blocks per query block — shrinks the grid's j extent so block-sparse
@@ -340,9 +355,14 @@ def _flash_forward(
                          lambda h, i, j, jl, jc, sc: (i, jl[i, j]),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_m, Dp),
-                               lambda h, i, j, *_: (h, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, block_m, Dp),
+                         lambda h, i, j, *_: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, 1),
+                         lambda h, i, j, *_: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_m, Dp), jnp.float32),   # acc
             pltpu.VMEM((block_m, 1), jnp.float32),    # running max
@@ -350,11 +370,12 @@ def _flash_forward(
         ],
     )
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, metric=metric, n_j=n_j,
                           true_d=D, bf16=bf16),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((H, Np, Dp), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), q.dtype),
+                   jax.ShapeDtypeStruct((H, Np, 1), jnp.float32)),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * H * Np * Np * Dp,
             bytes_accessed=4 * H * Np * Dp * 4 + Np * Np,
@@ -362,4 +383,209 @@ def _flash_forward(
         ),
     )(jlist, jcount.astype(jnp.int32), scale_param.astype(jnp.float32),
       q, k, v, mask)
+    if return_lse:
+        return out[:, :N, :D], lse[:, :N, 0]
     return out[:, :N, :D]
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernels (flash-attention backward, edge-masked)
+# ---------------------------------------------------------------------------
+
+BWD_METRICS = ("scaled_dot_product", "dot_product", "squared_euclidean",
+               "euclidean")
+
+
+def _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row, mask, true_d):
+    """Shared recompute for the backward block: returns (p, ds, sq)
+    where p is the probability block and ds = dL/dscores."""
+    s = _block_scores(metric, q, k, 1.0, true_d)
+    p = jnp.exp(s - lse_row)
+    p = jnp.where(mask != 0, p, 0.0)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_row)
+    return p, ds
+
+
+def _dscore_chain_dq(metric, ds, q, k, true_d):
+    """dq contribution of a block given ds [BM, BN]."""
+    if metric == "dot_product":
+        return jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    if metric == "scaled_dot_product":
+        return jnp.dot(ds, k, preferred_element_type=jnp.float32) \
+            / math.sqrt(true_d)
+    # sq-based metrics: dsq/dq_i = 2 q_i - 2 k_j
+    if metric == "squared_euclidean":
+        dsq = -ds
+    else:  # euclidean: score = -sqrt(sq + eps)
+        qn = jnp.sum(q * q, axis=-1, keepdims=True)
+        kn = jnp.sum(k * k, axis=-1, keepdims=True).T
+        qk = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        sq = jnp.maximum(qn + kn - 2.0 * qk, 0.0)
+        dsq = ds * (-0.5 * jax.lax.rsqrt(sq + 1e-8))
+    row = jnp.sum(dsq, axis=1, keepdims=True)
+    return 2.0 * (row * q - jnp.dot(dsq, k,
+                                    preferred_element_type=jnp.float32))
+
+
+def _dscore_chain_dk(metric, ds, q, k, true_d):
+    """dk contribution of a block given ds [BM, BN]."""
+    if metric == "dot_product":
+        return jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+    if metric == "scaled_dot_product":
+        return jnp.dot(ds.T, q, preferred_element_type=jnp.float32) \
+            / math.sqrt(true_d)
+    if metric == "squared_euclidean":
+        dsq = -ds
+    else:
+        qn = jnp.sum(q * q, axis=-1, keepdims=True)
+        kn = jnp.sum(k * k, axis=-1, keepdims=True).T
+        qk = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        sq = jnp.maximum(qn + kn - 2.0 * qk, 0.0)
+        dsq = ds * (-0.5 * jax.lax.rsqrt(sq + 1e-8))
+    col = jnp.sum(dsq, axis=0)[:, None]
+    return 2.0 * (col * k - jnp.dot(dsq.T, q,
+                                    preferred_element_type=jnp.float32))
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, acc_ref, *, metric, n_j,
+                         true_d):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse_row = lse_ref[0]        # [BM, 1]
+    delta_row = delta_ref[0]    # [BM, 1]
+    _, ds = _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row,
+                      mask_ref[:], true_d)
+    acc_ref[:] = acc_ref[:] + _dscore_chain_dq(metric, ds, q, k, true_d)
+
+    @pl.when(j == n_j - 1)
+    def _fin():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                          metric, n_i, true_d):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse_row = lse_ref[0]        # [BM, 1]
+    delta_row = delta_ref[0]    # [BM, 1]
+    p, ds = _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row,
+                      mask_ref[:], true_d)
+    dv_acc[:] = dv_acc[:] + jnp.dot(p.T, do,
+                                    preferred_element_type=jnp.float32)
+    dk_acc[:] = dk_acc[:] + _dscore_chain_dk(metric, ds, q, k, true_d)
+
+    @pl.when(i == n_i - 1)
+    def _fin():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def flash_geometric_attention_bwd(
+    q, k, v, mask, out, lse, do,
+    metric: str = "scaled_dot_product",
+    block_m: int = 256, block_n: int = 512,
+):
+    """Pallas flash backward: (dq, dk, dv) without materializing [N, N]
+    scores in HBM. Supports the cross-term metrics in BWD_METRICS."""
+    if metric not in BWD_METRICS:
+        raise NotImplementedError(metric)
+    H, N, D = q.shape
+    Np = _round_up(N, max(block_m, block_n))
+    Dp = _round_up(D, 128)
+    if Np != N or Dp != D:
+        pad3 = ((0, 0), (0, Np - N), (0, Dp - D))
+        q = jnp.pad(q, pad3)
+        k = jnp.pad(k, pad3)
+        v = jnp.pad(v, pad3)
+        do = jnp.pad(do, pad3)
+        out = jnp.pad(out, pad3)
+        mask = jnp.pad(mask.astype(jnp.int8), ((0, Np - N), (0, Np - N)))
+        lse = jnp.pad(lse, ((0, 0), (0, Np - N)),
+                      constant_values=LSE_DEAD)
+    mask = mask.astype(jnp.int8)
+    delta = jnp.sum(do * out, axis=-1)                 # [H, Np]
+
+    n_i = Np // block_m
+    n_j = Np // block_n
+    lse_i = lse[..., None]        # (H, Np, 1)
+    delta_i = delta[..., None]
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, metric=metric, n_j=n_j,
+                          true_d=D),
+        grid=(H, n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((1, block_m, Dp), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, Dp), lambda h, i, j: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, Dp), lambda h, i, j: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_n), lambda h, i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, Dp), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, 1), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, 1), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_m, Dp), lambda h, i, j: (h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, Np, Dp), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, Dp), jnp.float32)],
+    )(q, k, v, mask, do, lse_i, delta_i)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, metric=metric, n_i=n_i,
+                          true_d=D),
+        grid=(H, n_j, n_i),
+        in_specs=[
+            pl.BlockSpec((1, block_m, Dp), lambda h, j, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, Dp), lambda h, j, i: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, Dp), lambda h, j, i: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_n), lambda h, j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, Dp), lambda h, j, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, 1), lambda h, j, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, 1), lambda h, j, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_n, Dp), lambda h, j, i: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, Dp), lambda h, j, i: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), k.dtype),
+                   jax.ShapeDtypeStruct((H, Np, Dp), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((block_n, Dp), jnp.float32),
+                        pltpu.VMEM((block_n, Dp), jnp.float32)],
+    )(q, k, v, mask, do, lse_i, delta_i)
+
+    return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :D]
