@@ -117,3 +117,50 @@ def test_memory_carry_across_calls():
     # carried memory changes the second pass (reappearance blending)
     assert not np.allclose(np.asarray(out1.logits),
                            np.asarray(out2.logits))
+
+
+@pytest.mark.parametrize("backend", ["pickle", "orbax"])
+def test_checkpoint_backends(tmp_path, backend):
+    from tagan_tpu.train import save_checkpoint, load_checkpoint
+    from tagan_tpu.core.memory import init_memory
+    if backend == "orbax":
+        pytest.importorskip("orbax.checkpoint")
+    mem = init_memory(4, 2)
+    payload = {
+        "params": {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))},
+        # MemoryState flattened to plain arrays for backend-agnostic
+        # storage
+        "memory": {"states": mem.states, "valid": mem.valid},
+        "epoch": 7,
+    }
+    path = os.path.join(tmp_path, f"ckpt_{backend}")
+    save_checkpoint(path, payload, backend=backend)
+    back = load_checkpoint(path, backend=backend)
+    assert back["epoch"] == 7
+    np.testing.assert_array_equal(np.asarray(back["params"]["w"]),
+                                  np.ones((3, 2)))
+    np.testing.assert_array_equal(np.asarray(back["memory"]["valid"]),
+                                  np.zeros(4, bool))
+
+
+def test_multi_task_classification_module():
+    """Multi-task facade path (ClassificationModule.multi_task=True):
+    shared trunk + per-task heads + combined loss."""
+    from tagan_tpu.nn.heads import ClassificationModule
+    task_configs = (
+        ("controversy", (("output_dim", 1), ("task_type", "classification"))),
+        ("topic", (("output_dim", 4), ("task_type", "multi_class"))),
+    )
+    mod = ClassificationModule(hidden_dim=16, multi_task=True,
+                               dropout=0.0, task_configs=task_configs)
+    params = mod.init(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((5, 16)),
+                    jnp.float32)
+    preds = mod(params, x)
+    assert set(preds) == {"controversy", "topic"}
+    assert preds["controversy"].shape == (5, 1)
+    assert preds["topic"].shape == (5, 4)
+    labels = {"controversy": jnp.asarray(np.ones((5, 1)), jnp.float32),
+              "topic": jnp.asarray([0, 1, 2, 3, 0])}
+    loss, preds2 = mod(params, x, labels=labels)
+    assert np.isfinite(float(loss))
