@@ -493,15 +493,15 @@ class TemporalPropagation:
             bias_reappear = jnp.maximum(
                 0.5, 0.9 - 0.1 * jnp.minimum(gapf, 4.0))       # :1421
             if gating is not None:
-                gated_re = gating(gate_params, feats, prev,
-                                  memory_bias=bias_reappear,
-                                  deterministic=deterministic, rng=gr)
-                gated_cont = gating(gate_params, feats, prev,
-                                    memory_bias=0.6,           # :1454
-                                    deterministic=deterministic, rng=gr)
-                merged = jnp.where(reappearing[:, None], gated_re,
-                                   jnp.where(continuing[:, None], gated_cont,
-                                             feats))
+                # one gating pass with a per-node bias vector (the two
+                # reference branches differ only in the bias value:
+                # adaptive for reappearing nodes, 0.6 for continuing)
+                bias = jnp.where(reappearing, bias_reappear, 0.6)  # :1454
+                gated = gating(gate_params, feats, prev,
+                               memory_bias=bias,
+                               deterministic=deterministic, rng=gr)
+                merged = jnp.where((reappearing | continuing)[:, None],
+                                   gated, feats)
             else:
                 w_mem = jnp.maximum(
                     0.4, 0.9 - 0.1 * jnp.minimum(gapf, 5.0))   # :1442
