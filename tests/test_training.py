@@ -164,3 +164,44 @@ def test_multi_task_classification_module():
               "topic": jnp.asarray([0, 1, 2, 3, 0])}
     loss, preds2 = mod(params, x, labels=labels)
     assert np.isfinite(float(loss))
+
+
+def test_regression_end_to_end():
+    """Regression capability end-to-end: loss_type='mse' with continuous
+    targets trains and reduces loss (the reference exports
+    RegressionModule but never wires it — SURVEY §2.5)."""
+    import optax
+    from tagan_tpu.nn.model import TAGAN
+    rng = np.random.default_rng(0)
+    data = create_synthetic_data(num_samples=8, num_nodes_range=(6, 8),
+                                 node_feature_dim=8, edge_feature_dim=0,
+                                 sequence_length=3, num_classes=2, seed=5)
+    # continuous target derived from the class signal
+    targets = jnp.asarray([l * 2.0 - 1.0 + 0.1 * i
+                           for i, (_, l) in enumerate(data)], jnp.float32)
+    T, N, E, _ = tt.pad_dims_for([s for s, _ in data])
+    seqs = [tt.build_sequence(s, max_nodes=N, max_edges=E, max_time=T)
+            for s, _ in data]
+    batch = tt.batch_sequences(seqs)
+    cfg = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=1,
+                         node_feature_dim=8, output_dim=1,
+                         loss_type="mse", dropout=0.0)
+    model = TAGAN(cfg)
+    params = model.init(jax.random.key(0))
+    tx = optax.adam(5e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def lf(p):
+            out = jax.vmap(lambda s, t: model(p, s, t))(batch, targets)
+            return jnp.mean(out.loss)
+        l, g = jax.value_and_grad(lf)(p)
+        u, o = tx.update(g, o)
+        return optax.apply_updates(p, u), o, l
+
+    losses = []
+    for _ in range(8):
+        params, opt, l = step(params, opt)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.8, losses
