@@ -99,8 +99,10 @@ class TAGANConfig:
     # reference's actually-executed path (propagation bypassed — B2,
     # un-timed temporal attention) for end-to-end Oracle A parity.
     compat_mode: str = "intended"
-    # Numerics: params/accum in fp32; set bf16_matmul for MXU-friendly
-    # mixed precision on the attention/linear contractions.
+    # Numerics: params/accum stay fp32. bf16_matmul forces single-pass
+    # bfloat16 MXU contractions model-wide (jax default_matmul_precision
+    # 'bfloat16' on the dense path; the flash kernel's in-kernel bf16
+    # casts on the sparse path).
     bf16_matmul: bool = False
     # Rematerialization: recompute per-snapshot attention activations in
     # the backward pass instead of storing them (jax.checkpoint) — trades

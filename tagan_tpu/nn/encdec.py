@@ -86,13 +86,16 @@ class TAGANEncoder:
         prop = model.temporal_propagation
         out = prop(p["temporal_propagation"], x, seq.node_mask,
                    seq.times if c.time_aware else None, memory,
+                   time_mask=seq.time_mask,
                    deterministic=deterministic, rng=r_prop)
         x = jnp.where(seq.node_mask[..., None], out.features, 0.0)
 
         nt = jnp.swapaxes(x, 0, 1)                  # [N, T, hidden]
         ta = model.temporal_attention
         ts = jnp.broadcast_to(seq.times[None, :], (N, T))
+        tmask = seq.time_mask[None, :] & seq.time_mask[:, None]
         res = ta(p["temporal_attention"], nt, time_stamps=ts,
+                 attention_mask=tmask,
                  deterministic=deterministic, rng=r_ta,
                  return_weights=return_attention_weights)
         if return_attention_weights:

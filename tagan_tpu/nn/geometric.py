@@ -142,7 +142,11 @@ class GeometricAttention:
             gb = geometric_bias
             if gb.ndim == weights.ndim - 1:
                 gb = gb[..., None, :, :]
-            weights = jax.nn.softmax(weights + gb, axis=-1)
+            # re-softmax restricted to the mask: the reference re-softmaxes
+            # unmasked (geometric_attention.py:572-575) but has no padded
+            # slots; here an unmasked re-softmax would hand every masked
+            # column exp(0) weight and leak attention onto padding
+            weights = masked_softmax(weights + gb, mask)
             if not deterministic and rng is not None:
                 rng, r2 = jax.random.split(rng)
                 weights = M.dropout(weights, self.dropout,
@@ -173,6 +177,7 @@ class GeometricAttention:
         block_m: int = 256,
         block_n: int = 512,
         max_blocks_per_row: Optional[int] = None,
+        bf16: bool = False,
     ) -> jax.Array:
         """Same semantics as the dense path but through the fused Pallas
         flash kernel (ops.pallas.flash_geometric) — the [N, N] score
@@ -181,8 +186,12 @@ class GeometricAttention:
         materialized); output dropout still applies."""
         from ..ops.pallas.flash_geometric import (MXU_METRICS,
                                                   flash_geometric_attention)
-        if self.distance_metric not in MXU_METRICS:
-            # manhattan / mahalanobis: not blockwise-MXU expressible
+        sigma, gamma, _ = self._metric_params(p)
+        scale = sigma if sigma is not None else gamma
+        if self.distance_metric not in MXU_METRICS or scale is not None:
+            # manhattan / mahalanobis are not blockwise-MXU expressible;
+            # learnable sigma/gamma route to the forward-only kernel
+            # variant (no vjp), so training them needs the dense path
             return self(p, x, attention_mask, deterministic=deterministic,
                         rng=rng)
         identity = x
@@ -190,14 +199,12 @@ class GeometricAttention:
         q = self._split_heads(M.linear(p["q"], h))
         k = self._split_heads(M.linear(p["k"], h))
         v = self._split_heads(M.linear(p["v"], h))
-        sigma, gamma, _ = self._metric_params(p)
-        scale = sigma if sigma is not None else gamma
 
         def one(qh, kh, vh, mh):
             return flash_geometric_attention(
                 qh, kh, vh, mh, metric=self.distance_metric,
                 scale_param=scale, block_m=block_m, block_n=block_n,
-                max_blocks_per_row=max_blocks_per_row)
+                bf16=bf16, max_blocks_per_row=max_blocks_per_row)
 
         if x.ndim == 3:   # [T, N, hidden] snapshots
             ctx = jax.vmap(one)(q, k, v, attention_mask)

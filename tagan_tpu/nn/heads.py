@@ -527,8 +527,17 @@ class ClassificationModule:
                         cfg = dict(dict(self.task_configs)[name])
                         tt = cfg.get("task_type", "classification")
                         if tt in ("classification", "multi_label"):
+                            # TemporalPredictionHead already applied
+                            # sigmoid for these task types (:108-109), so
+                            # the loss is probability-space BCE. (The
+                            # reference feeds the probabilities to
+                            # bce_with_logits — a double sigmoid,
+                            # classification.py:1210 — not reproduced.)
+                            pclip = jnp.clip(pr, 1e-7, 1.0 - 1e-7)
+                            t = labels[name]
                             losses[name] = jnp.mean(
-                                bce_with_logits(pr, labels[name]))
+                                -(t * jnp.log(pclip)
+                                  + (1.0 - t) * jnp.log1p(-pclip)))
                         elif tt == "multi_class":
                             losses[name] = jnp.mean(
                                 cross_entropy(pr, labels[name]))

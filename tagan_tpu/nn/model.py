@@ -195,7 +195,8 @@ class TAGAN:
                     diag = jnp.arange(N)
                     mask = mask.at[diag, diag].max(nm.astype(jnp.int8))
                     return _layers(xt, lambda lp, xx: ga.inner.apply_flash(
-                        lp, xx, mask, deterministic=True))
+                        lp, xx, mask, deterministic=True,
+                        bf16=c.bf16_matmul))
             else:
                 from ..ops.sparse import add_self_loops
 
@@ -254,6 +255,27 @@ class TAGAN:
         rng: Optional[jax.Array] = None,
         return_attention_weights: bool = False,
     ) -> TAGANOutput:
+        if self.config.bf16_matmul:
+            with jax.default_matmul_precision("bfloat16"):
+                return self._forward(
+                    p, seq, labels, memory, deterministic=deterministic,
+                    rng=rng,
+                    return_attention_weights=return_attention_weights)
+        return self._forward(
+            p, seq, labels, memory, deterministic=deterministic, rng=rng,
+            return_attention_weights=return_attention_weights)
+
+    def _forward(
+        self,
+        p: M.Params,
+        seq: SnapshotSequence,
+        labels: Optional[jax.Array] = None,
+        memory: Optional[MemoryState] = None,
+        *,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+        return_attention_weights: bool = False,
+    ) -> TAGANOutput:
         c = self.config
         T, N = seq.x.shape[0], seq.x.shape[1]
         executed = c.compat_mode == "executed"
@@ -283,6 +305,7 @@ class TAGAN:
             prop = self.temporal_propagation
             out = prop(p["temporal_propagation"], x, seq.node_mask,
                        seq.times if c.time_aware else None, memory,
+                       time_mask=seq.time_mask,
                        deterministic=deterministic, rng=r_prop)
             temporal_out = jnp.where(seq.node_mask[..., None],
                                      out.features, 0.0)
@@ -303,7 +326,11 @@ class TAGAN:
             attn_mask = causal_mask(T) if T == c.num_heads else None
         else:
             time_stamps = jnp.broadcast_to(seq.times[None, :], (N, T))
-            attn_mask = None
+            # padded snapshots must not act as attention keys: with the
+            # loader padding all sequences to the dataset max_time, a
+            # padded step (zero features, time 0) would otherwise pass
+            # the |dt| mask and receive softmax mass
+            attn_mask = seq.time_mask[None, :] & seq.time_mask[:, None]
         res = ta(p["temporal_attention"], nt, time_stamps=time_stamps,
                  attention_mask=attn_mask, deterministic=deterministic,
                  rng=r_ta, return_weights=return_attention_weights)

@@ -145,47 +145,58 @@ class TemporalEvolutionLayer:
         return p
 
     def _scan_cell(self, cp: M.Params, xs: jax.Array, tds: jax.Array,
-                   *, deterministic: bool, rng) -> jax.Array:
+                   *, deterministic: bool, rng,
+                   valid: Optional[jax.Array] = None) -> jax.Array:
         """Scan TemporalGRUCell over leading time axis of xs [T, B, F].
         tds [T, B] are per-step time diffs (0 at the first step, where the
         reference passes None — decay by exp(0)=1 on a zero state is a
-        no-op, so semantics agree)."""
+        no-op, so semantics agree). `valid` bool[T]: invalid (padded)
+        steps carry the hidden state through unchanged and emit zeros —
+        used by the reversed bidirectional pass, where padding sits at
+        the scan head."""
         cell = TemporalGRUCell(self.input_dim, self.cell_dim, self.dropout,
                                self.use_layer_norm)
         T = xs.shape[0]
         rngs = (jax.random.split(rng, T) if (rng is not None and
                                              not deterministic) else None)
+        # `started` tracks whether any valid step has run yet, so the
+        # first valid step takes the reference's h=None path (no LN on
+        # the zero initial state, :502-506)
+        if valid is None:
+            valid = jnp.ones((T,), bool)
 
         def step(carry, inp):
-            h, t_idx = carry
+            h, started = carry
             if rngs is None:
-                x_t, td_t = inp
+                x_t, td_t, v_t = inp
                 r = None
             else:
-                x_t, td_t, r = inp
-            h_new = cell(cp, x_t, h, td_t,
-                         h_is_initial=False, deterministic=deterministic,
-                         rng=r)
-            # replicate the reference's un-normalized zero initial state:
-            # at t=0 the cell sees h=0 without LN. We pass h through LN in
-            # the cell, so for t=0 feed the raw zeros path instead.
-            return (h_new, t_idx + 1), h_new
+                x_t, td_t, v_t, r = inp
+            # the reference's first step passes h=None (zeros, NOT
+            # layer-normalized, :502-506); emulate with one cell call by
+            # pre-normalizing the carry only once a valid step has run
+            if self.use_layer_norm:
+                h_in = jnp.where(started,
+                                 M.layer_norm(cp["ln_h"], h), 0.0)
+            else:
+                h_in = jnp.where(started, h, 0.0)
+            h_new = cell(cp, x_t, h_in, td_t, h_is_initial=True,
+                         deterministic=deterministic, rng=r)
+            h_out = jnp.where(v_t, h_new, h)
+            emitted = jnp.where(v_t, h_new, 0.0)
+            return (h_out, started | v_t), emitted
 
-        # handle t=0 exactly: run the first step with h=None
-        r0 = rngs[0] if rngs is not None else None
-        h0 = cell(cp, xs[0], None, None, deterministic=deterministic, rng=r0)
-        if T == 1:
-            return h0[None]
-        inps = (xs[1:], tds[1:]) if rngs is None else (xs[1:], tds[1:],
-                                                       rngs[1:])
-        (_, _), rest = jax.lax.scan(step, (h0, jnp.int32(1)), inps)
-        return jnp.concatenate([h0[None], rest], axis=0)
+        h_init = jnp.zeros((xs.shape[1], self.cell_dim), xs.dtype)
+        inps = (xs, tds, valid) if rngs is None else (xs, tds, valid, rngs)
+        (_, _), out = jax.lax.scan(step, (h_init, jnp.asarray(False)), inps)
+        return out
 
     def __call__(
         self,
         p: M.Params,
         x_seq: jax.Array,                       # [T, B, input_dim]
         time_stamps: Optional[jax.Array] = None,  # [T]
+        time_mask: Optional[jax.Array] = None,    # bool[T]
         *,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
@@ -204,7 +215,8 @@ class TemporalEvolutionLayer:
             rng, r1, r2, r3 = jax.random.split(rng, 4)
 
         fwd = self._scan_cell(p["forward_cell"], x_seq, tds,
-                              deterministic=deterministic, rng=r1)
+                              deterministic=deterministic, rng=r1,
+                              valid=time_mask)
         if self.bidirectional:
             # backward diffs: td_bwd[t] = times[t+1] - times[t] (:695-708)
             if time_stamps is not None and self.time_aware:
@@ -214,9 +226,13 @@ class TemporalEvolutionLayer:
             else:
                 tdb = jnp.zeros((T,), x_seq.dtype)
             tdsb = jnp.broadcast_to(tdb[:, None], (T, B))
-            bwd = self._scan_cell(p["backward_cell"], x_seq[::-1],
-                                  tdsb[::-1], deterministic=deterministic,
-                                  rng=r2)[::-1]
+            # padded steps sit at the sequence tail, i.e. at the HEAD of
+            # the reversed scan: valid-gating carries h through them
+            # untouched so the first real step starts from a clean state
+            bwd = self._scan_cell(
+                p["backward_cell"], x_seq[::-1], tdsb[::-1],
+                deterministic=deterministic, rng=r2,
+                valid=None if time_mask is None else time_mask[::-1])[::-1]
             h = jnp.concatenate([fwd, bwd], axis=-1)
         else:
             h = fwd
@@ -262,20 +278,26 @@ class TemporalSkipConnection:
             p["ln2"] = M.init_layer_norm(self.input_dim)
         return p
 
-    def _window_operator(self, T: int, dtype) -> jax.Array:
+    def _window_operator(self, T: int, dtype,
+                         time_mask: Optional[jax.Array] = None) -> jax.Array:
         """Banded [T, T] operator: row t has weight over steps in
-        [t-w, t+w] clipped to range; 1/count for mean, 1 for sum."""
+        [t-w, t+w] clipped to range (and restricted to valid steps);
+        1/count for mean, 1 for sum."""
         idx = jnp.arange(T)
         band = jnp.abs(idx[:, None] - idx[None, :]) <= self.window_size
+        if time_mask is not None:
+            band = jnp.logical_and(band, time_mask[None, :])
         band = band.astype(dtype)
         if self.aggregation == "mean":
-            band = band / jnp.sum(band, axis=1, keepdims=True)
+            band = band / jnp.maximum(
+                jnp.sum(band, axis=1, keepdims=True), 1.0)
         return band
 
     def __call__(
         self,
         p: M.Params,
         x_seq: jax.Array,          # [T, B, input_dim]
+        time_mask: Optional[jax.Array] = None,    # bool[T]
         *,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
@@ -296,12 +318,14 @@ class TemporalSkipConnection:
         if self.aggregation == "max":
             idx = jnp.arange(T)
             band = jnp.abs(idx[:, None] - idx[None, :]) <= self.window_size
+            if time_mask is not None:
+                band = jnp.logical_and(band, time_mask[None, :])
             big_neg = jnp.asarray(-1e30, proj.dtype)
             expanded = jnp.where(band[:, :, None, None], proj[None, :, :, :],
                                  big_neg)
             agg = jnp.max(expanded, axis=1)
         else:  # mean or sum via banded matmul
-            op = self._window_operator(T, proj.dtype)
+            op = self._window_operator(T, proj.dtype, time_mask)
             agg = jnp.einsum("ts,sbh->tbh", op, proj)
 
         out = M.linear(p["out_proj"], M.gelu_exact(agg))   # :928-931
@@ -449,6 +473,7 @@ class TemporalPropagation:
         node_mask: Optional[jax.Array] = None,   # bool[T, N]
         time_stamps: Optional[jax.Array] = None,  # [T]
         memory: Optional[MemoryState] = None,
+        time_mask: Optional[jax.Array] = None,    # bool[T]
         *,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
@@ -456,6 +481,10 @@ class TemporalPropagation:
         T, N, _ = x_seq.shape
         if node_mask is None:
             node_mask = jnp.ones((T, N), bool)
+        if time_mask is not None:
+            # padded snapshots must be fully inert: no active nodes, no
+            # memory bookkeeping, no skip-window contribution
+            node_mask = jnp.logical_and(node_mask, time_mask[:, None])
         if memory is None:
             memory = init_memory(N, self.hidden_dim, x_seq.dtype)
 
@@ -464,9 +493,10 @@ class TemporalPropagation:
             rng, r_evo, r_skip, r_gate, r_out = jax.random.split(rng, 5)
 
         evolved = self.evolution(p["evolution"], x_seq, time_stamps,
+                                 time_mask,
                                  deterministic=deterministic, rng=r_evo)
         if self.use_skip_connection:
-            evolved = self.skip(p["skip"], evolved,
+            evolved = self.skip(p["skip"], evolved, time_mask,
                                 deterministic=deterministic, rng=r_skip)
 
         # ---- memory pass: scan over time (:1357-1485, vectorized) ------
@@ -478,10 +508,10 @@ class TemporalPropagation:
         def step(carry, inp):
             mem, last_seen, seen = carry
             if gate_rngs is None:
-                feats, active, t = inp
+                feats, active, t, valid_t = inp
                 gr = None
             else:
-                feats, active, t, gr = inp
+                feats, active, t, valid_t, gr = inp
             prev, has_prev = memory_read(mem)
 
             # local bookkeeping mirrors node_last_seen (:1359, :1411)
@@ -514,19 +544,25 @@ class TemporalPropagation:
             if self.add_timestep_marker:
                 write = write + 0.01 * jnp.asarray(t, write.dtype) \
                     * (t > 0).astype(write.dtype)
-            mem = memory_update(mem, active, write, t,
-                                decay_factor=self.memory_decay_factor,
-                                max_inactivity=self.max_inactivity)
+            mem_new = memory_update(mem, active, write, t,
+                                    decay_factor=self.memory_decay_factor,
+                                    max_inactivity=self.max_inactivity)
+            # padded (invalid) timesteps are full no-ops on the bank —
+            # otherwise every pad step would tick inactivity/decay/prune
+            mem = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(valid_t, new, old),
+                mem_new, mem)
             last_seen = jnp.where(active, t, last_seen)
             seen = seen | active
             return (mem, last_seen, seen), merged
 
         ts = jnp.arange(T, dtype=jnp.int32)
+        tvalid = jnp.ones((T,), bool) if time_mask is None else time_mask
         init_carry = (memory,
                       jnp.zeros((N,), jnp.int32),
                       jnp.zeros((N,), bool))
-        inps = (evolved, node_mask, ts) if gate_rngs is None else \
-            (evolved, node_mask, ts, gate_rngs)
+        inps = (evolved, node_mask, ts, tvalid) if gate_rngs is None else \
+            (evolved, node_mask, ts, tvalid, gate_rngs)
         (memory, _, _), merged = jax.lax.scan(step, init_carry, inps)
 
         out = M.linear(p["out_proj"], merged)

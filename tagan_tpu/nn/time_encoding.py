@@ -50,6 +50,21 @@ class TimeEncoding:
     num_bases: int = 16
     scale: float = 1.0
 
+    def _fixed_table(self) -> jnp.ndarray:
+        """The deterministic PE table for table-type encodings."""
+        t = self.encoding_type
+        if t == "sinusoidal":
+            return sinusoidal_table(self.max_len, self.d_model)
+        if t == "linear":
+            pos = jnp.arange(self.max_len, dtype=jnp.float32) / self.max_len
+            return jnp.repeat(pos[:, None], self.d_model, axis=1)
+        if t == "log":
+            pos = jnp.log(jnp.arange(1, self.max_len + 1,
+                                     dtype=jnp.float32)
+                          ) / math.log(self.max_len)
+            return jnp.repeat(pos[:, None], self.d_model, axis=1)
+        return jnp.zeros((self.max_len, self.d_model))
+
     def init(self, key: jax.Array) -> M.Params:
         t = self.encoding_type
         if t == "basis":
@@ -62,25 +77,13 @@ class TimeEncoding:
         if t == "learned":
             return {"pe": jax.random.normal(key,
                                             (self.max_len, self.d_model))}
-        if t == "sinusoidal":
-            tab = sinusoidal_table(self.max_len, self.d_model)
-        elif t == "linear":
-            pos = jnp.arange(self.max_len, dtype=jnp.float32) / self.max_len
-            tab = jnp.repeat(pos[:, None], self.d_model, axis=1)
-        elif t == "log":
-            pos = jnp.log(jnp.arange(1, self.max_len + 1, dtype=jnp.float32)
-                          ) / math.log(self.max_len)
-            tab = jnp.repeat(pos[:, None], self.d_model, axis=1)
-        else:
-            tab = jnp.zeros((self.max_len, self.d_model))
-        # fixed tables are stored in params either way; when not learnable
-        # the trainer masks them out of the optimizer (they stay constant).
-        return {"pe": tab}
-
-    def param_is_trainable(self, name: str) -> bool:
-        if self.encoding_type in ("learned", "basis"):
-            return True
-        return self.learnable
+        if self.learnable:
+            return {"pe": self._fixed_table()}
+        # non-learnable table types hold NO parameters — the table is a
+        # compile-time constant (the reference registers a frozen buffer,
+        # temporal_attention.py:73-76; a param here would silently drift
+        # under the optimizer's weight decay)
+        return {}
 
     def _basis_encode(self, p: M.Params, time_norm: jax.Array) -> jax.Array:
         """RBF basis evaluation on already-normalized times [...]->[..., d]."""
@@ -136,7 +139,8 @@ class TimeEncoding:
                 pos = jnp.broadcast_to(jnp.arange(s), x.shape[:-1])
             else:
                 raise ValueError("Either time_values or x must be provided")
-            encoding = jnp.take(p["pe"], pos, axis=0)
+            table = p["pe"] if "pe" in p else self._fixed_table()
+            encoding = jnp.take(table, pos, axis=0)
 
         encoding = encoding * self.scale
         if not deterministic and rng is not None:

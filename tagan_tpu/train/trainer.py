@@ -124,7 +124,10 @@ class TAGANTrainer:
                 self.global_step += 1
             else:
                 loss, preds = self._eval_step(self.params, batch, labels)
-                loss = jnp.mean(loss)
+                # mask out padded duplicate rows of the final partial
+                # batch, as the train path does
+                mw = mask.astype(loss.dtype)
+                loss = jnp.sum(loss * mw) / jnp.maximum(jnp.sum(mw), 1.0)
             m = np.asarray(mask)
             losses.append(float(loss))
             all_preds.append(np.asarray(preds)[m])
