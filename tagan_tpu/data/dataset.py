@@ -85,6 +85,11 @@ class TemporalGraphDataLoader:
 
     Yields (SnapshotSequence stacked batch, labels, sample_mask) where
     sample_mask marks real (non-pad) sequences in the final batch.
+
+    ``num_buckets > 1`` groups sequences into size buckets by node count
+    (each bucket padded to its own max dims), cutting padding waste on
+    heterogeneous datasets at the cost of one XLA compile per distinct
+    bucket shape. Batches never mix buckets.
     """
 
     def __init__(self, dataset: TemporalGraphDataset, batch_size: int = 16,
@@ -93,7 +98,8 @@ class TemporalGraphDataLoader:
                  max_nodes: Optional[int] = None,
                  max_edges: Optional[int] = None,
                  edge_feature_dim: Optional[int] = None,
-                 drop_remainder: bool = False):
+                 drop_remainder: bool = False,
+                 num_buckets: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -108,46 +114,92 @@ class TemporalGraphDataLoader:
             else edge_feature_dim
         self._epoch = 0
         self._cache: List[Optional[SnapshotSequence]] = [None] * len(dataset)
+        self.num_buckets = max(1, num_buckets)
+        self._bucket_of, self._bucket_dims = self._assign_buckets()
+
+    def _seq_node_count(self, i: int) -> int:
+        ids = set()
+        for s in self.dataset.sequences[i]:
+            if isinstance(s, dict):
+                ids.update(s["node_ids"])
+            else:
+                ids.update(s[3])
+        return len(ids)
+
+    def _assign_buckets(self):
+        n = len(self.dataset)
+        if self.num_buckets <= 1 or n == 0:
+            return ([0] * n,
+                    {0: (self.max_time, self.max_nodes, self.max_edges)})
+        counts = np.asarray([self._seq_node_count(i) for i in range(n)])
+        order = np.argsort(counts)
+        bucket_of = [0] * n
+        dims = {}
+        per = (n + self.num_buckets - 1) // self.num_buckets
+        for b in range(self.num_buckets):
+            members = order[b * per:(b + 1) * per]
+            if len(members) == 0:
+                continue
+            sub = [self.dataset.sequences[int(i)] for i in members]
+            Tm, Nm, Em, _ = pad_dims_for(sub)
+            dims[b] = (min(Tm, self.max_time) if self.max_time else Tm,
+                       Nm, max(Em, 1))
+            for i in members:
+                bucket_of[int(i)] = b
+        return bucket_of, dims
 
     def _built(self, i: int) -> SnapshotSequence:
         if self._cache[i] is None:
+            Tm, Nm, Em = self._bucket_dims[self._bucket_of[i]]
             self._cache[i] = build_sequence(
-                self.dataset.sequences[i], max_nodes=self.max_nodes,
-                max_edges=self.max_edges, max_time=self.max_time,
+                self.dataset.sequences[i], max_nodes=Nm,
+                max_edges=Em, max_time=Tm,
                 edge_feature_dim=self.edge_feature_dim)
         return self._cache[i]
 
     def __len__(self) -> int:
-        n = len(self.dataset)
-        if self.drop_remainder:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        total = 0
+        for b in self._bucket_dims:
+            n = sum(1 for x in self._bucket_of if x == b)
+            if self.drop_remainder:
+                total += n // self.batch_size
+            else:
+                total += (n + self.batch_size - 1) // self.batch_size
+        return total
 
     def __iter__(self) -> Iterator[Tuple[SnapshotSequence, jnp.ndarray,
                                          jnp.ndarray]]:
         n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            order = np.random.default_rng(
-                self.seed + self._epoch).permutation(n)
+        rng = np.random.default_rng(self.seed + self._epoch)
         self._epoch += 1
         bs = self.batch_size
         labels_np = np.asarray(self.dataset.labels)
         label_dtype = jnp.int32 if np.issubdtype(labels_np.dtype,
                                                  np.integer) else jnp.float32
-        for start in range(0, n, bs):
-            idx = order[start:start + bs]
-            if len(idx) < bs:
-                if self.drop_remainder:
-                    return
-                pad = np.concatenate([idx, np.repeat(idx[-1:],
-                                                     bs - len(idx))])
-                mask = np.zeros(bs, bool)
-                mask[: len(idx)] = True
-                idx_full = pad
-            else:
-                mask = np.ones(bs, bool)
-                idx_full = idx
+
+        batches = []
+        for b in self._bucket_dims:
+            members = np.asarray([i for i in range(n)
+                                  if self._bucket_of[i] == b])
+            if self.shuffle:
+                members = rng.permutation(members)
+            for start in range(0, len(members), bs):
+                idx = members[start:start + bs]
+                if len(idx) < bs:
+                    if self.drop_remainder:
+                        continue
+                    idx_full = np.concatenate(
+                        [idx, np.repeat(idx[-1:], bs - len(idx))])
+                    mask = np.zeros(bs, bool)
+                    mask[: len(idx)] = True
+                else:
+                    idx_full = idx
+                    mask = np.ones(bs, bool)
+                batches.append((idx_full, mask))
+        if self.shuffle:
+            rng.shuffle(batches)
+
+        for idx_full, mask in batches:
             seqs = [self._built(int(i)) for i in idx_full]
             batch = batch_sequences(seqs)
             labels = jnp.asarray(labels_np[idx_full], dtype=label_dtype)
