@@ -448,51 +448,63 @@ def _dscore_chain_dk(metric, ds, q, k, true_d):
                                     preferred_element_type=jnp.float32))
 
 
-def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
-                         delta_ref, dq_ref, acc_ref, *, metric, n_j,
-                         true_d):
+def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, q_ref, k_ref, v_ref,
+                         mask_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                         acc_ref, *, metric, n_j, true_d):
+    """dq accumulation over a compacted walk of occupied key blocks
+    (same block-sparsity plan as the forward)."""
     j = pl.program_id(2)
+    i = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse_row = lse_ref[0]        # [BM, 1]
-    delta_row = delta_ref[0]    # [BM, 1]
-    _, ds = _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row,
-                      mask_ref[:], true_d)
-    acc_ref[:] = acc_ref[:] + _dscore_chain_dq(metric, ds, q, k, true_d)
+    @pl.when(j < jcount_ref[i])
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse_row = lse_ref[0]        # [BM, 1]
+        delta_row = delta_ref[0]    # [BM, 1]
+        _, ds = _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row,
+                          mask_ref[:], true_d)
+        acc_ref[:] = acc_ref[:] + _dscore_chain_dq(metric, ds, q, k,
+                                                   true_d)
 
     @pl.when(j == n_j - 1)
     def _fin():
         dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
-                          delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, q_ref, k_ref, v_ref,
+                          mask_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *,
                           metric, n_i, true_d):
+    """dk/dv accumulation over a compacted walk of occupied *query*
+    blocks (the transposed plan)."""
     i = pl.program_id(2)
+    j = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse_row = lse_ref[0]        # [BM, 1]
-    delta_row = delta_ref[0]    # [BM, 1]
-    p, ds = _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row,
-                      mask_ref[:], true_d)
-    dv_acc[:] = dv_acc[:] + jnp.dot(p.T, do,
-                                    preferred_element_type=jnp.float32)
-    dk_acc[:] = dk_acc[:] + _dscore_chain_dk(metric, ds, q, k, true_d)
+    @pl.when(i < icount_ref[j])
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse_row = lse_ref[0]        # [BM, 1]
+        delta_row = delta_ref[0]    # [BM, 1]
+        p, ds = _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row,
+                          mask_ref[:], true_d)
+        dv_acc[:] = dv_acc[:] + jnp.dot(p.T, do,
+                                        preferred_element_type=jnp.float32)
+        dk_acc[:] = dk_acc[:] + _dscore_chain_dk(metric, ds, q, k, true_d)
 
     @pl.when(i == n_i - 1)
     def _fin():
@@ -530,62 +542,86 @@ def flash_geometric_attention_bwd(
     lse_i = lse[..., None]        # (H, Np, 1)
     delta_i = delta[..., None]
 
+    # block-sparsity plans: forward plan drives dq's key walk, the
+    # transposed plan drives dk/dv's query walk
+    jlist, jcount = make_block_plan.__wrapped__(mask, block_m, block_n,
+                                                n_pad=Np)
+    ilist, icount = make_block_plan.__wrapped__(mask.T, block_n, block_m,
+                                                n_pad=Np)
+
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(H, n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, Dp),
+                         lambda h, i, j, jl, jc: (h, jl[i, j], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, Dp),
+                         lambda h, i, j, jl, jc: (h, jl[i, j], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_n),
+                         lambda h, i, j, jl, jc: (i, jl[i, j]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, 1), lambda h, i, j, *_: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, 1), lambda h, i, j, *_: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_m, Dp),
+                               lambda h, i, j, *_: (h, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_m, Dp), jnp.float32)],
+    )
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, metric=metric, n_j=n_j,
                           true_d=D),
-        grid=(H, n_i, n_j),
-        in_specs=[
-            pl.BlockSpec((1, block_m, Dp), lambda h, i, j: (h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n, Dp), lambda h, i, j: (h, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n, Dp), lambda h, i, j: (h, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, block_n), lambda h, i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_m, Dp), lambda h, i, j: (h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_m, 1), lambda h, i, j: (h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_m, 1), lambda h, i, j: (h, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_m, Dp), lambda h, i, j: (h, i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((H, Np, Dp), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_m, Dp), jnp.float32)],
-    )(q, k, v, mask, do, lse_i, delta_i)
+    )(jlist, jcount, q, k, v, mask, do, lse_i, delta_i)
 
-    dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, metric=metric, n_i=n_i,
-                          true_d=D),
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(H, n_j, n_i),
         in_specs=[
-            pl.BlockSpec((1, block_m, Dp), lambda h, j, i: (h, i, 0),
+            pl.BlockSpec((1, block_m, Dp),
+                         lambda h, j, i, il, ic: (h, il[j, i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n, Dp), lambda h, j, i: (h, j, 0),
+            pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n, Dp), lambda h, j, i: (h, j, 0),
+            pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, block_n), lambda h, j, i: (i, j),
+            pl.BlockSpec((block_m, block_n),
+                         lambda h, j, i, il, ic: (il[j, i], j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_m, Dp), lambda h, j, i: (h, i, 0),
+            pl.BlockSpec((1, block_m, Dp),
+                         lambda h, j, i, il, ic: (h, il[j, i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_m, 1), lambda h, j, i: (h, i, 0),
+            pl.BlockSpec((1, block_m, 1),
+                         lambda h, j, i, il, ic: (h, il[j, i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_m, 1), lambda h, j, i: (h, i, 0),
+            pl.BlockSpec((1, block_m, 1),
+                         lambda h, j, i, il, ic: (h, il[j, i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_n, Dp), lambda h, j, i: (h, j, 0),
+            pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n, Dp), lambda h, j, i: (h, j, 0),
+            pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), k.dtype),
-                   jax.ShapeDtypeStruct((H, Np, Dp), v.dtype)),
         scratch_shapes=[pltpu.VMEM((block_n, Dp), jnp.float32),
                         pltpu.VMEM((block_n, Dp), jnp.float32)],
-    )(q, k, v, mask, do, lse_i, delta_i)
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, metric=metric, n_i=n_i,
+                          true_d=D),
+        grid_spec=dkv_spec,
+        out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), k.dtype),
+                   jax.ShapeDtypeStruct((H, Np, Dp), v.dtype)),
+    )(ilist, icount, q, k, v, mask, do, lse_i, delta_i)
 
     return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :D]
