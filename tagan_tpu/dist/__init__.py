@@ -4,3 +4,5 @@ from .spmd import (make_train_step, make_eval_step, batch_specs,
                    batch_shardings, shard_batch)
 from .edge_partition import (partition_edges_by_query,
                              edge_partitioned_attention, scaling_report)
+from .edge_partition import (partition_edges_by_query_and_key,
+                             ring_edge_attention)

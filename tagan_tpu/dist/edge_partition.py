@@ -124,6 +124,152 @@ def edge_partitioned_attention(
     return shard_fn(q, k, v, edge_q, edge_k, edge_mask)
 
 
+def partition_edges_by_query_and_key(
+    edge_q: np.ndarray, edge_k: np.ndarray, edge_mask: np.ndarray,
+    num_nodes: int, num_shards: int,
+    max_edges_per_bucket: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Host-side: bucket edges by (query-owner, key-owner) shard pair.
+
+    Returns (edge_q [G, G, Ep], edge_k [G, G, Ep], mask [G, G, Ep], Ep)
+    where bucket [gq, gk] holds edges whose query lives on shard gq and
+    key on shard gk — the layout the ring-overlap attention walks.
+    """
+    assert num_nodes % num_shards == 0
+    per = num_nodes // num_shards
+    eq = np.asarray(edge_q)
+    ek = np.asarray(edge_k)
+    em = np.asarray(edge_mask).astype(bool)
+    qo = eq // per
+    ko = ek // per
+    buckets = {}
+    for gq in range(num_shards):
+        for gk in range(num_shards):
+            sel = em & (qo == gq) & (ko == gk)
+            buckets[(gq, gk)] = (eq[sel], ek[sel])
+    Ep = max_edges_per_bucket or max(
+        (len(b[0]) for b in buckets.values()), default=1) or 1
+    out_q = np.zeros((num_shards, num_shards, Ep), np.int32)
+    out_k = np.zeros((num_shards, num_shards, Ep), np.int32)
+    out_m = np.zeros((num_shards, num_shards, Ep), bool)
+    for (gq, gk), (bq, bk) in buckets.items():
+        n = len(bq)
+        if n > Ep:
+            raise ValueError(f"bucket ({gq},{gk}) has {n} edges > {Ep}")
+        out_q[gq, gk, :n] = bq
+        out_k[gq, gk, :n] = bk
+        out_m[gq, gk, :n] = True
+        out_q[gq, gk, n:] = gq * per
+        out_k[gq, gk, n:] = gk * per
+    return out_q, out_k, out_m, Ep
+
+
+def ring_edge_attention(
+    mesh: Mesh,
+    metric: str,
+    q: jax.Array,            # [H, N, D]
+    k: jax.Array,            # [H, N, D]
+    v: jax.Array,            # [H, N, D]
+    edge_q: jax.Array,       # i32[G, G, Ep] from *_by_query_and_key
+    edge_k: jax.Array,
+    edge_mask: jax.Array,
+) -> jax.Array:
+    """Halo-overlapped edge attention: K/V shards circulate around the
+    ring (`ppermute` over ICI) while each chip folds the arriving chunk
+    into a streaming segment softmax for its local queries — no chip
+    ever holds the full K/V, and step s's communication overlaps step
+    s's compute in the XLA schedule.
+
+    This is the collective-level formulation; `ops/pallas/ring_gather`
+    provides the same ring as a remote-DMA kernel for fusing the copy
+    into the kernel itself.
+    """
+    from ..ops.distances import edgewise_scores
+    from ..ops.masked import NEG_INF
+
+    H, N, D = q.shape
+    g = mesh.shape[GRAPH_AXIS]
+    per = N // g
+
+    node_spec = P(None, GRAPH_AXIS, None)
+    edge_spec = P(GRAPH_AXIS, None, None)
+
+    def local(q_l, k_l, v_l, eq_l, ek_l, em_l):
+        my = jax.lax.axis_index(GRAPH_AXIS)
+        eq_loc = eq_l[0] - my * per               # [G, Ep] local query ids
+        neg = jnp.asarray(NEG_INF, q_l.dtype)
+
+        # mark the accumulators as device-varying so scan's carry typing
+        # matches the (varying) updates computed from sharded operands
+        m0 = jax.lax.pvary(jnp.full((H, per), neg), GRAPH_AXIS)
+        l0 = jax.lax.pvary(jnp.zeros((H, per)), GRAPH_AXIS)
+        acc0 = jax.lax.pvary(jnp.zeros((H, per, D)), GRAPH_AXIS)
+
+        def body(carry, step):
+            m, l, acc, kc, vc = carry
+            # the chunk now held originated `step` hops to the right...
+            # ppermute sends right, so after s steps we hold shard
+            # (my - s) mod g's chunk
+            src = jax.lax.rem(my - step + g, g)
+            eqs = eq_loc[src]                      # [Ep]
+            eks = ek_l[0, src] - src * per         # chunk-local key ids
+            ems = em_l[0, src]
+            q_e = jnp.take(q_l, eqs, axis=1)       # [H, Ep, D]
+            k_e = jnp.take(kc, eks, axis=1)
+            s_e = edgewise_scores(metric, q_e, k_e)
+            s_e = jnp.where(ems[None, :], s_e, neg)
+
+            def seg_max(x):
+                return jax.vmap(lambda r: jax.ops.segment_max(
+                    r, eqs, num_segments=per))(x)
+
+            def seg_sum(x):
+                return jax.vmap(lambda r: jax.ops.segment_sum(
+                    r, eqs, num_segments=per))(x)
+
+            m_chunk = seg_max(s_e)
+            m_chunk = jnp.where(jnp.isfinite(m_chunk), m_chunk, neg)
+            m_new = jnp.maximum(m, m_chunk)
+            # guard fully-empty queries (m stays NEG_INF)
+            shift = jnp.where(m_new <= neg * 0.5, 0.0, m_new)
+            p_e = jnp.exp(s_e - jnp.take_along_axis(
+                shift, jnp.broadcast_to(eqs, (H, eqs.shape[0])), axis=1))
+            p_e = p_e * ems[None, :]
+            alpha = jnp.where(m_new <= neg * 0.5, 1.0, jnp.exp(m - m_new))
+            alpha = jnp.where(m <= neg * 0.5, 0.0, alpha)
+            l_new = l * alpha + seg_sum(p_e)
+            v_e = jnp.take(vc, eks, axis=1)        # [H, Ep, D]
+            contrib = jax.vmap(lambda pe, ve: jax.ops.segment_sum(
+                pe[:, None] * ve, eqs, num_segments=per))(p_e, v_e)
+            acc_new = acc * alpha[..., None] + contrib
+            # circulate the chunk to the right neighbor
+            perm = [(i, (i + 1) % g) for i in range(g)]
+            kc2 = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
+            vc2 = jax.lax.ppermute(vc, GRAPH_AXIS, perm)
+            return (m_new, l_new, acc_new, kc2, vc2), 0
+
+        (m, l, acc, _, _), _ = jax.lax.scan(
+            body, (m0, l0, acc0, k_l, v_l), jnp.arange(g))
+        denom = jnp.where(l > 0, l, 1.0)
+        return acc / denom[..., None]
+
+    shard_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(node_spec, node_spec, node_spec,
+                  edge_spec, edge_spec, edge_spec),
+        out_specs=node_spec)
+
+    dev = NamedSharding(mesh, node_spec)
+    es = NamedSharding(mesh, edge_spec)
+    q = jax.device_put(q, dev)
+    k = jax.device_put(k, dev)
+    v = jax.device_put(v, dev)
+    edge_q = jax.device_put(jnp.asarray(edge_q), es)
+    edge_k = jax.device_put(jnp.asarray(edge_k), es)
+    edge_mask = jax.device_put(jnp.asarray(edge_mask), es)
+    return shard_fn(q, k, v, edge_q, edge_k, edge_mask)
+
+
 def scaling_report(mesh: Mesh, edges_per_sec_1chip: float,
                    edges_per_sec_mesh: float) -> dict:
     """Scaling-efficiency counter (BASELINE north-star metric):
