@@ -14,6 +14,7 @@ a data dependency and the result is materialized to host.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -82,10 +83,23 @@ def bench_reference_torch(N=1024, deg=16, T=8, H=128, heads=8, iters=3):
     return n_edges / dt
 
 
+def _torch_baseline_subprocess() -> float:
+    """Run the torch reference benchmark in a fresh subprocess — torch
+    imported after jax/TPU use in the same process deadlocks
+    intermittently on this image."""
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import bench; print(bench.bench_reference_torch())"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    return float(out.stdout.strip().splitlines()[-1])
+
+
 def main():
     edges_per_s, snaps_per_s = bench_tagan_tpu()
     try:
-        ref_edges_per_s = bench_reference_torch()
+        ref_edges_per_s = _torch_baseline_subprocess()
         vs = edges_per_s / ref_edges_per_s
     except Exception:
         vs = 0.0
