@@ -186,8 +186,13 @@ class ExperimentConfig:
     """Training-run level config (reference TAGANExperimentConfig,
     config.py:353-603)."""
     model: TAGANConfig = field(default_factory=TAGANConfig)
+    experiment_name: str = "tagan_experiment"  # config.py:380
+    data_path: str = "data/"                   # config.py:381
+    output_path: str = "outputs/"              # config.py:382
     batch_size: int = 16
     num_epochs: int = 50
+    num_folds: int = 5                     # config.py:386 (used by
+                                           # trainer.cross_validate)
     seed: int = 42
     eval_every: int = 1
     early_stopping_patience: int = 10
@@ -195,10 +200,20 @@ class ExperimentConfig:
     lr_scheduler: Optional[str] = None     # None | 'cosine' | 'plateau' | 'step'
     lr_scheduler_factor: float = 0.5
     lr_scheduler_patience: int = 5
+    lr_scheduler_step_size: int = 10       # epochs per 'step' decay
+                                           # (config.py:392 scheduler_step_size)
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 0              # 0 = only best
     log_every: int = 10
     shuffle: bool = True
+
+    def __post_init__(self):
+        if self.num_folds <= 0:            # config.py:459-460
+            raise ValueError(
+                f"Number of folds must be positive, got {self.num_folds}")
+        if self.batch_size <= 0:
+            raise ValueError(
+                f"batch_size must be positive, got {self.batch_size}")
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

@@ -73,10 +73,29 @@ class TemporalGraphDataset:
         n_val = int(fractions[1] * n)
         parts = (idx[:n_train], idx[n_train:n_train + n_val],
                  idx[n_train + n_val:])
-        return tuple(
-            TemporalGraphDataset([self.sequences[i] for i in part],
-                                 [self.labels[i] for i in part])
-            for part in parts)
+        return tuple(self.subset(part) for part in parts)
+
+    def subset(self, indices) -> "TemporalGraphDataset":
+        """New dataset holding the given sample indices."""
+        return TemporalGraphDataset([self.sequences[i] for i in indices],
+                                    [self.labels[i] for i in indices])
+
+    def kfold(self, num_folds: int = 5, seed: int = 42):
+        """Yield (train_dataset, val_dataset) pairs for k-fold
+        cross-validation (the reference's ``TAGANExperimentConfig``
+        declares ``num_folds`` at `config.py:386` but ships no CV loop —
+        this is the working implementation)."""
+        n = len(self)
+        if num_folds < 2 or num_folds > n:
+            raise ValueError(f"num_folds must be in [2, {n}], "
+                             f"got {num_folds}")
+        idx = np.random.default_rng(seed).permutation(n)
+        folds = np.array_split(idx, num_folds)
+        for f in range(num_folds):
+            val_idx = folds[f]
+            train_idx = np.concatenate(
+                [folds[j] for j in range(num_folds) if j != f])
+            yield self.subset(train_idx), self.subset(val_idx)
 
 
 class TemporalGraphDataLoader:

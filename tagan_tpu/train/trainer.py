@@ -42,8 +42,8 @@ def make_optimizer(cfg: TAGANConfig, exp: ExperimentConfig,
             cfg.learning_rate, exp.num_epochs * steps_per_epoch)
     elif exp.lr_scheduler == "step":
         sched = optax.exponential_decay(
-            cfg.learning_rate, steps_per_epoch * 10, exp.lr_scheduler_factor,
-            staircase=True)
+            cfg.learning_rate, steps_per_epoch * exp.lr_scheduler_step_size,
+            exp.lr_scheduler_factor, staircase=True)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.gradient_clip_val)
         if cfg.gradient_clip_val > 0 else optax.identity(),
@@ -255,3 +255,52 @@ class TAGANTrainer:
         self.epoch = payload.get("epoch", 0)
         self.global_step = payload.get("global_step", 0)
         return payload.get("metrics", {})
+
+
+def cross_validate(model: TAGAN, dataset, experiment: ExperimentConfig,
+                   num_epochs: Optional[int] = None,
+                   loader_kwargs: Optional[Dict[str, Any]] = None,
+                   verbose: bool = False) -> Dict[str, Any]:
+    """K-fold cross-validation over a ``TemporalGraphDataset``.
+
+    The reference declares ``num_folds`` in its experiment config
+    (`/root/reference/src/tagan/utils/config.py:386`) but ships no CV
+    loop; this is the working implementation. Each fold trains a fresh
+    parameter set (fold-specific seed) on k-1 folds and evaluates on the
+    held-out fold. Loaders pad all folds to the full dataset's dims so
+    every fold reuses the same compiled step.
+
+    Returns {"folds": [per-fold val metrics], "mean": {...}, "std": {...}}.
+    """
+    from ..data.dataset import TemporalGraphDataLoader, pad_dims_for
+
+    kw = dict(loader_kwargs or {})
+    Tm, Nm, Em, Fe = pad_dims_for(dataset.sequences)
+    kw.setdefault("max_time", Tm)
+    kw.setdefault("max_nodes", Nm)
+    kw.setdefault("max_edges", max(Em, 1))
+    kw.setdefault("edge_feature_dim", Fe)
+    kw.setdefault("batch_size", experiment.batch_size)
+
+    fold_metrics: List[Dict[str, float]] = []
+    for f, (train_ds, val_ds) in enumerate(
+            dataset.kfold(experiment.num_folds, seed=experiment.seed)):
+        exp_f = experiment.replace(seed=experiment.seed + f,
+                                   checkpoint_dir="")
+        trainer = TAGANTrainer(model, exp_f)
+        train_loader = TemporalGraphDataLoader(
+            train_ds, shuffle=experiment.shuffle, seed=exp_f.seed, **kw)
+        val_loader = TemporalGraphDataLoader(val_ds, **kw)
+        trainer.train(train_loader, val_loader, num_epochs=num_epochs,
+                      checkpoint_dir="", verbose=verbose)
+        metrics = trainer.evaluate(val_loader)
+        fold_metrics.append(metrics)
+        logger.info(f"fold {f}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in metrics.items()
+            if isinstance(v, float)))
+
+    keys = [k for k, v in fold_metrics[0].items()
+            if isinstance(v, (int, float))]
+    mean = {k: float(np.mean([m[k] for m in fold_metrics])) for k in keys}
+    std = {k: float(np.std([m[k] for m in fold_metrics])) for k in keys}
+    return {"folds": fold_metrics, "mean": mean, "std": std}

@@ -228,3 +228,37 @@ def test_bucketed_loader():
     assert len(shapes) >= 2, "expected multiple bucket shapes"
     delivered = sum(len(l) for l, _ in seen)
     assert delivered == 20
+
+
+def test_kfold_split_partitions(tiny_data):
+    folds = list(tiny_data.kfold(num_folds=4, seed=1))
+    assert len(folds) == 4
+    for tr, va in folds:
+        assert len(tr) + len(va) == len(tiny_data)
+        assert len(va) == 6
+    # validation folds are disjoint and cover the dataset
+    all_val_labels = sum((va.labels for _, va in folds), [])
+    assert len(all_val_labels) == len(tiny_data)
+    with pytest.raises(ValueError):
+        list(tiny_data.kfold(num_folds=1))
+
+
+def test_cross_validate_runs(tiny_data):
+    """Working k-fold CV (the reference declares num_folds at
+    config.py:386 but ships no CV loop)."""
+    from tagan_tpu.train import cross_validate
+    model = _model()
+    exp = tt.ExperimentConfig(model=model.config, batch_size=8,
+                              num_epochs=2, num_folds=3,
+                              early_stopping_patience=20)
+    res = cross_validate(model, tiny_data, exp, verbose=False)
+    assert len(res["folds"]) == 3
+    assert 0.0 <= res["mean"]["accuracy"] <= 1.0
+    assert set(res["std"]) == set(res["mean"])
+
+
+def test_experiment_config_validation():
+    with pytest.raises(ValueError):
+        tt.ExperimentConfig(num_folds=0)
+    with pytest.raises(ValueError):
+        tt.ExperimentConfig(batch_size=0)
