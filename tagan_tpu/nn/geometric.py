@@ -178,12 +178,17 @@ class GeometricAttention:
         block_n: int = 512,
         max_blocks_per_row: Optional[int] = None,
         bf16: bool = False,
+        plan=None,
+        plan_t=None,
+        max_blocks_per_col: Optional[int] = None,
     ) -> jax.Array:
         """Same semantics as the dense path but through the fused Pallas
         flash kernel (ops.pallas.flash_geometric) — the [N, N] score
         matrix never reaches HBM. Dropout on attention weights is not
         available inside the fused kernel (weights are never
-        materialized); output dropout still applies."""
+        materialized); output dropout still applies. ``plan``/``plan_t``
+        share one precomputed block-sparsity plan across layers (see
+        ops.pallas.flash_geometric.make_block_plan)."""
         from ..ops.pallas.flash_geometric import (MXU_METRICS,
                                                   flash_geometric_attention)
         sigma, gamma, _ = self._metric_params(p)
@@ -200,14 +205,21 @@ class GeometricAttention:
         k = self._split_heads(M.linear(p["k"], h))
         v = self._split_heads(M.linear(p["v"], h))
 
-        def one(qh, kh, vh, mh):
+        def one(qh, kh, vh, mh, pln=plan, pln_t=plan_t):
             return flash_geometric_attention(
                 qh, kh, vh, mh, metric=self.distance_metric,
                 scale_param=scale, block_m=block_m, block_n=block_n,
-                bf16=bf16, max_blocks_per_row=max_blocks_per_row)
+                bf16=bf16, max_blocks_per_row=max_blocks_per_row,
+                plan=pln, plan_t=pln_t,
+                max_blocks_per_col=max_blocks_per_col)
 
         if x.ndim == 3:   # [T, N, hidden] snapshots
-            ctx = jax.vmap(one)(q, k, v, attention_mask)
+            if plan is not None:
+                ctx = jax.vmap(one)(q, k, v, attention_mask, plan, plan_t)
+            else:
+                ctx = jax.vmap(
+                    lambda qh, kh, vh, mh: one(qh, kh, vh, mh, None, None)
+                )(q, k, v, attention_mask)
         else:
             ctx = one(q, k, v, attention_mask)
         ctx = self._merge_heads(ctx)

@@ -188,15 +188,24 @@ class TAGAN:
                 return xx
 
             if use_flash:
+                from ..ops.pallas.flash_geometric import make_block_plan
+                BM, BN = 256, 512   # apply_flash defaults
+
                 def one_step(args):
                     xt, eq, ek, em, nm = args
                     mask = jnp.zeros((N, N), jnp.int8)
                     mask = mask.at[eq, ek].max(em.astype(jnp.int8))
                     diag = jnp.arange(N)
                     mask = mask.at[diag, diag].max(nm.astype(jnp.int8))
+                    # block-sparsity plans once per snapshot, shared by
+                    # every layer's forward AND backward kernels (the
+                    # adjacency is layer-invariant)
+                    plan = make_block_plan.__wrapped__(mask, BM, BN)
+                    plan_t = make_block_plan.__wrapped__(mask.T, BN, BM)
                     return _layers(xt, lambda lp, xx: ga.inner.apply_flash(
                         lp, xx, mask, deterministic=True,
-                        bf16=c.bf16_matmul))
+                        bf16=c.bf16_matmul, block_m=BM, block_n=BN,
+                        plan=plan, plan_t=plan_t))
             else:
                 from ..ops.sparse import add_self_loops
 

@@ -204,70 +204,98 @@ def _xla_reference(metric, q, k, v, mask, scale_param):
     return jnp.einsum("hij,hjd->hid", w, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_diff(q, k, v, mask, metric, block_m, block_n, bf16,
-                max_blocks_per_row):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _flash_diff(q, k, v, mask, jlist, jcount, ilist, icount,
+                metric, block_m, block_n, bf16):
     return _flash_forward(q, k, v, mask, metric=metric, block_m=block_m,
                           block_n=block_n, bf16=bf16,
-                          max_blocks_per_row=max_blocks_per_row)
+                          plan=(jlist, jcount))
 
 
-def _flash_diff_fwd(q, k, v, mask, metric, block_m, block_n, bf16,
-                    max_blocks_per_row):
+def _flash_diff_fwd(q, k, v, mask, jlist, jcount, ilist, icount,
+                    metric, block_m, block_n, bf16):
     out, lse = _flash_forward(q, k, v, mask, metric=metric,
                               block_m=block_m, block_n=block_n, bf16=bf16,
-                              max_blocks_per_row=max_blocks_per_row,
-                              return_lse=True)
-    return out, (q, k, v, mask, out, lse)
+                              plan=(jlist, jcount), return_lse=True)
+    return out, (q, k, v, mask, out, lse, jlist, jcount, ilist, icount)
 
 
-def _flash_diff_bwd(metric, block_m, block_n, bf16, max_blocks_per_row,
-                    res, g):
-    q, k, v, mask, out, lse = res
+def _flash_diff_bwd(metric, block_m, block_n, bf16, res, g):
+    q, k, v, mask, out, lse, jlist, jcount, ilist, icount = res
     if metric in BWD_METRICS:
         # flash backward kernels: [N, N] scores recomputed blockwise in
-        # VMEM, never in HBM
+        # VMEM, never in HBM; the forward's block-sparsity plans are
+        # reused instead of rebuilt
         dq, dk, dv = flash_geometric_attention_bwd(
             q, k, v, mask, out, lse, g, metric=metric,
-            block_m=block_m, block_n=block_n)
-        return dq, dk, dv, None
+            block_m=block_m, block_n=block_n, bf16=bf16,
+            plan=(jlist, jcount), plan_t=(ilist, icount))
+        return dq, dk, dv, None, None, None, None, None
     # remaining metrics (kernel/cosine families): recompute through the
     # dense XLA formulation — O(N^2) HBM only during backward
     _, vjp = jax.vjp(
         lambda q_, k_, v_: _xla_reference(metric, q_, k_, v_, mask, None),
         q, k, v)
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None, None, None, None
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
+def _shrink_plan(plan, walk: Optional[int]):
+    """Statically truncate a (list, count) plan to `walk` entries."""
+    lst, cnt = plan
+    if walk is None or walk >= lst.shape[1]:
+        return lst, cnt
+    return lst[:, :walk], jnp.minimum(cnt, walk)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "block_m",
                                              "block_n", "bf16",
-                                             "max_blocks_per_row"))
+                                             "max_blocks_per_row",
+                                             "max_blocks_per_col"))
 def flash_geometric_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
     metric: str = "scaled_dot_product",
     scale_param: Optional[jax.Array] = None,
     block_m: int = 256, block_n: int = 512, bf16: bool = False,
     max_blocks_per_row: Optional[int] = None, plan=None,
+    plan_t=None, max_blocks_per_col: Optional[int] = None,
 ) -> jax.Array:
-    """Differentiable entry point: Pallas kernel forward, XLA-recompute
-    backward (custom_vjp). For kernel-parameterized metrics
-    (gaussian/rbf with learnable sigma/gamma) gradients flow only
-    through q/k/v, not the scale parameter — route those through the
-    dense path when training the scale."""
-    if scale_param is not None or plan is not None:
-        # scale/plan variants: forward-only kernel (used by inference
-        # and bench paths); fall back to the raw wrapper
+    """Differentiable entry point: Pallas kernels forward AND backward
+    (custom_vjp), both walking precomputed block-sparsity plans. `plan`
+    (query-block walk) and `plan_t` (the transposed plan driving the
+    dk/dv kernel) are computed here when not supplied — pass them in to
+    share one plan across the attention layers of a model (the adjacency
+    is fixed per snapshot). `max_blocks_per_row`/`max_blocks_per_col`
+    statically shrink the forward/backward grids for block-sparse graphs
+    (must upper-bound the true occupancy — see `occupied_blocks_bound`).
+
+    For kernel-parameterized metrics (gaussian/rbf with learnable
+    sigma/gamma) gradients flow only through q/k/v, not the scale
+    parameter — route those through the dense path when training the
+    scale."""
+    if scale_param is not None:
+        # scale variants: forward-only kernel (used by inference and
+        # bench paths); fall back to the raw wrapper
         return _flash_forward(q, k, v, mask, metric=metric,
                               scale_param=scale_param, block_m=block_m,
                               block_n=block_n, bf16=bf16,
                               max_blocks_per_row=max_blocks_per_row,
                               plan=plan)
-    return _flash_diff(q, k, v, mask, metric, block_m, block_n, bf16,
-                       max_blocks_per_row)
+    N = q.shape[1]
+    Np = _round_up(N, max(block_m, block_n))
+    if plan is None:
+        plan = make_block_plan.__wrapped__(mask, block_m, block_n,
+                                           n_pad=Np)
+    if plan_t is None:
+        plan_t = make_block_plan.__wrapped__(mask.T, block_n, block_m,
+                                             n_pad=Np)
+    jlist, jcount = _shrink_plan(plan, max_blocks_per_row)
+    ilist, icount = _shrink_plan(plan_t, max_blocks_per_col)
+    return _flash_diff(q, k, v, mask, jlist, jcount, ilist, icount,
+                       metric, block_m, block_n, bf16)
 
 
 def _flash_forward(
@@ -331,9 +359,10 @@ def _flash_forward(
         jlist, jcount = make_block_plan.__wrapped__(
             mask, block_m, block_n, n_pad=Np)
 
-    # static grid shrink for block-sparse graphs
-    n_walk = n_j if max_blocks_per_row is None \
-        else min(max_blocks_per_row, n_j)
+    # static grid shrink for block-sparse graphs (a pre-shrunk plan also
+    # bounds the walk via its own width)
+    n_walk = min(jlist.shape[1],
+                 n_j if max_blocks_per_row is None else max_blocks_per_row)
     jlist = jlist[:, :n_walk]
     jcount = jnp.minimum(jcount, n_walk)
     grid = (H, n_i, n_walk)
@@ -396,61 +425,66 @@ BWD_METRICS = ("scaled_dot_product", "dot_product", "squared_euclidean",
                "euclidean")
 
 
-def _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row, mask, true_d):
+def _dot(a, b, bf16: bool):
+    """MXU contraction with fp32 accumulate; optional bf16 inputs."""
+    if bf16:
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row, mask, true_d,
+              bf16):
     """Shared recompute for the backward block: returns (p, ds, sq)
     where p is the probability block and ds = dL/dscores."""
-    s = _block_scores(metric, q, k, 1.0, true_d)
+    s = _block_scores(metric, q, k, 1.0, true_d, bf16)
     p = jnp.exp(s - lse_row)
     p = jnp.where(mask != 0, p, 0.0)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    dp = _dot(do, v.T, bf16)
     ds = p * (dp - delta_row)
     return p, ds
 
 
-def _dscore_chain_dq(metric, ds, q, k, true_d):
+def _dscore_chain_dq(metric, ds, q, k, true_d, bf16):
     """dq contribution of a block given ds [BM, BN]."""
     if metric == "dot_product":
-        return jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        return _dot(ds, k, bf16)
     if metric == "scaled_dot_product":
-        return jnp.dot(ds, k, preferred_element_type=jnp.float32) \
-            / math.sqrt(true_d)
+        return _dot(ds, k, bf16) / math.sqrt(true_d)
     # sq-based metrics: dsq/dq_i = 2 q_i - 2 k_j
     if metric == "squared_euclidean":
         dsq = -ds
     else:  # euclidean: score = -sqrt(sq + eps)
         qn = jnp.sum(q * q, axis=-1, keepdims=True)
         kn = jnp.sum(k * k, axis=-1, keepdims=True).T
-        qk = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        qk = _dot(q, k.T, bf16)
         sq = jnp.maximum(qn + kn - 2.0 * qk, 0.0)
         dsq = ds * (-0.5 * jax.lax.rsqrt(sq + 1e-8))
     row = jnp.sum(dsq, axis=1, keepdims=True)
-    return 2.0 * (row * q - jnp.dot(dsq, k,
-                                    preferred_element_type=jnp.float32))
+    return 2.0 * (row * q - _dot(dsq, k, bf16))
 
 
-def _dscore_chain_dk(metric, ds, q, k, true_d):
+def _dscore_chain_dk(metric, ds, q, k, true_d, bf16):
     """dk contribution of a block given ds [BM, BN]."""
     if metric == "dot_product":
-        return jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return _dot(ds.T, q, bf16)
     if metric == "scaled_dot_product":
-        return jnp.dot(ds.T, q, preferred_element_type=jnp.float32) \
-            / math.sqrt(true_d)
+        return _dot(ds.T, q, bf16) / math.sqrt(true_d)
     if metric == "squared_euclidean":
         dsq = -ds
     else:
         qn = jnp.sum(q * q, axis=-1, keepdims=True)
         kn = jnp.sum(k * k, axis=-1, keepdims=True).T
-        qk = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        qk = _dot(q, k.T, bf16)
         sq = jnp.maximum(qn + kn - 2.0 * qk, 0.0)
         dsq = ds * (-0.5 * jax.lax.rsqrt(sq + 1e-8))
     col = jnp.sum(dsq, axis=0)[:, None]
-    return 2.0 * (col * k - jnp.dot(dsq.T, q,
-                                    preferred_element_type=jnp.float32))
+    return 2.0 * (col * k - _dot(dsq.T, q, bf16))
 
 
 def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, q_ref, k_ref, v_ref,
                          mask_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                         acc_ref, *, metric, n_j, true_d):
+                         acc_ref, *, metric, n_j, true_d, bf16):
     """dq accumulation over a compacted walk of occupied key blocks
     (same block-sparsity plan as the forward)."""
     j = pl.program_id(2)
@@ -469,9 +503,9 @@ def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, q_ref, k_ref, v_ref,
         lse_row = lse_ref[0]        # [BM, 1]
         delta_row = delta_ref[0]    # [BM, 1]
         _, ds = _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row,
-                          mask_ref[:], true_d)
+                          mask_ref[:], true_d, bf16)
         acc_ref[:] = acc_ref[:] + _dscore_chain_dq(metric, ds, q, k,
-                                                   true_d)
+                                                   true_d, bf16)
 
     @pl.when(j == n_j - 1)
     def _fin():
@@ -481,7 +515,7 @@ def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, q_ref, k_ref, v_ref,
 def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, q_ref, k_ref, v_ref,
                           mask_ref, do_ref, lse_ref, delta_ref,
                           dk_ref, dv_ref, dk_acc, dv_acc, *,
-                          metric, n_i, true_d):
+                          metric, n_i, true_d, bf16):
     """dk/dv accumulation over a compacted walk of occupied *query*
     blocks (the transposed plan)."""
     i = pl.program_id(2)
@@ -501,10 +535,10 @@ def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, q_ref, k_ref, v_ref,
         lse_row = lse_ref[0]        # [BM, 1]
         delta_row = delta_ref[0]    # [BM, 1]
         p, ds = _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row,
-                          mask_ref[:], true_d)
-        dv_acc[:] = dv_acc[:] + jnp.dot(p.T, do,
-                                        preferred_element_type=jnp.float32)
-        dk_acc[:] = dk_acc[:] + _dscore_chain_dk(metric, ds, q, k, true_d)
+                          mask_ref[:], true_d, bf16)
+        dv_acc[:] = dv_acc[:] + _dot(p.T, do, bf16)
+        dk_acc[:] = dk_acc[:] + _dscore_chain_dk(metric, ds, q, k, true_d,
+                                                 bf16)
 
     @pl.when(i == n_i - 1)
     def _fin():
@@ -515,10 +549,13 @@ def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, q_ref, k_ref, v_ref,
 def flash_geometric_attention_bwd(
     q, k, v, mask, out, lse, do,
     metric: str = "scaled_dot_product",
-    block_m: int = 256, block_n: int = 512,
+    block_m: int = 256, block_n: int = 512, bf16: bool = False,
+    plan=None, plan_t=None,
 ):
     """Pallas flash backward: (dq, dk, dv) without materializing [N, N]
-    scores in HBM. Supports the cross-term metrics in BWD_METRICS."""
+    scores in HBM. Supports the cross-term metrics in BWD_METRICS.
+    `plan`/`plan_t` reuse the forward's block-sparsity plans (possibly
+    pre-shrunk — the walk extent is each plan's width)."""
     if metric not in BWD_METRICS:
         raise NotImplementedError(metric)
     H, N, D = q.shape
@@ -544,14 +581,22 @@ def flash_geometric_attention_bwd(
 
     # block-sparsity plans: forward plan drives dq's key walk, the
     # transposed plan drives dk/dv's query walk
-    jlist, jcount = make_block_plan.__wrapped__(mask, block_m, block_n,
-                                                n_pad=Np)
-    ilist, icount = make_block_plan.__wrapped__(mask.T, block_n, block_m,
-                                                n_pad=Np)
+    if plan is None:
+        plan = make_block_plan.__wrapped__(mask, block_m, block_n,
+                                           n_pad=Np)
+    if plan_t is None:
+        plan_t = make_block_plan.__wrapped__(mask.T, block_n, block_m,
+                                             n_pad=Np)
+    jlist, jcount = plan
+    ilist, icount = plan_t
+    n_walk_j = min(jlist.shape[1], n_j)
+    n_walk_i = min(ilist.shape[1], n_i)
+    jcount = jnp.minimum(jcount, n_walk_j)
+    icount = jnp.minimum(icount, n_walk_i)
 
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(H, n_i, n_j),
+        grid=(H, n_i, n_walk_j),
         in_specs=[
             pl.BlockSpec((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0),
                          memory_space=pltpu.VMEM),
@@ -577,15 +622,15 @@ def flash_geometric_attention_bwd(
         scratch_shapes=[pltpu.VMEM((block_m, Dp), jnp.float32)],
     )
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, metric=metric, n_j=n_j,
-                          true_d=D),
+        functools.partial(_flash_bwd_dq_kernel, metric=metric,
+                          n_j=n_walk_j, true_d=D, bf16=bf16),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((H, Np, Dp), q.dtype),
     )(jlist, jcount, q, k, v, mask, do, lse_i, delta_i)
 
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(H, n_j, n_i),
+        grid=(H, n_j, n_walk_i),
         in_specs=[
             pl.BlockSpec((1, block_m, Dp),
                          lambda h, j, i, il, ic: (h, il[j, i], 0),
@@ -617,8 +662,8 @@ def flash_geometric_attention_bwd(
                         pltpu.VMEM((block_n, Dp), jnp.float32)],
     )
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, metric=metric, n_i=n_i,
-                          true_d=D),
+        functools.partial(_flash_bwd_dkv_kernel, metric=metric,
+                          n_i=n_walk_i, true_d=D, bf16=bf16),
         grid_spec=dkv_spec,
         out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), k.dtype),
                    jax.ShapeDtypeStruct((H, Np, Dp), v.dtype)),

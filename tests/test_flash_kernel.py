@@ -113,3 +113,48 @@ def test_flash_backward_matches_xla_grads(metric):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3,
                                    err_msg=f"{metric} d{n}")
+
+
+def test_flash_backward_with_shared_plan_and_shrink():
+    """Grads through the differentiable path are identical whether the
+    block-sparsity plans are computed internally, passed in, or
+    statically shrunk to the occupancy bound."""
+    q, k, v, adj = _data(N=96, density=0.12, dead_row=False, seed=7)
+
+    def loss(q, k, v, **kw):
+        out = FG.flash_geometric_attention.__wrapped__(
+            q, k, v, adj, metric="scaled_dot_product",
+            block_m=32, block_n=32, **kw)
+        return jnp.sum(out ** 2)
+
+    g_base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    plan = FG.make_block_plan.__wrapped__(adj, 32, 32)
+    plan_t = FG.make_block_plan.__wrapped__(adj.T, 32, 32)
+    g_plan = jax.grad(lambda *a: loss(*a, plan=plan, plan_t=plan_t),
+                      argnums=(0, 1, 2))(q, k, v)
+    kr = FG.occupied_blocks_bound(np.asarray(adj), 32, 32)
+    kc = FG.occupied_blocks_bound(np.asarray(adj).T, 32, 32)
+    g_shrunk = jax.grad(lambda *a: loss(*a, max_blocks_per_row=kr,
+                                        max_blocks_per_col=kc),
+                        argnums=(0, 1, 2))(q, k, v)
+    for a, b, c in zip(g_base, g_plan, g_shrunk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-6)
+
+
+def test_flash_backward_bf16_close():
+    """bf16 backward kernels stay within bf16-class tolerance of the
+    fp32 grads."""
+    q, k, v, adj = _data(N=64, H=2, Dh=16, seed=9)
+
+    def loss(q, k, v, bf16):
+        out = FG.flash_geometric_attention.__wrapped__(
+            q, k, v, adj, metric="scaled_dot_product",
+            block_m=32, block_n=32, bf16=bf16)
+        return jnp.sum(out ** 2)
+
+    g32 = jax.grad(lambda *a: loss(*a, bf16=False), argnums=(0, 1, 2))(q, k, v)
+    g16 = jax.grad(lambda *a: loss(*a, bf16=True), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g32, g16):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.05, atol=0.05)
