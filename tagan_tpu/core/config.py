@@ -206,6 +206,13 @@ class ExperimentConfig:
     checkpoint_every: int = 0              # 0 = only best
     log_every: int = 10
     shuffle: bool = True
+    num_workers: int = 0                   # config.py:390 — loader
+                                           # prefetch threads (0 = sync)
+    # TPU-native: run each training epoch as lax.scan'd device programs
+    # (one dispatch per shape bucket instead of one per step). Identical
+    # math; removes per-step launch latency. Costs device memory for the
+    # stacked epoch batches.
+    fused_epochs: bool = False
 
     def __post_init__(self):
         if self.num_folds <= 0:            # config.py:459-460

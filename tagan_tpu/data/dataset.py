@@ -109,6 +109,14 @@ class TemporalGraphDataLoader:
     (each bucket padded to its own max dims), cutting padding waste on
     heterogeneous datasets at the cost of one XLA compile per distinct
     bucket shape. Batches never mix buckets.
+
+    ``num_workers > 0`` builds upcoming batches on a thread pool with
+    ``prefetch`` batches in flight (the reference experiment config
+    declares ``num_workers`` at `config.py:390`; torch's loader would
+    fork processes — here the hot packing loops run in the C++ packer
+    outside the GIL, so threads overlap host packing with device
+    compute). Batch order and contents are identical to the synchronous
+    path.
     """
 
     def __init__(self, dataset: TemporalGraphDataset, batch_size: int = 16,
@@ -118,7 +126,9 @@ class TemporalGraphDataLoader:
                  max_edges: Optional[int] = None,
                  edge_feature_dim: Optional[int] = None,
                  drop_remainder: bool = False,
-                 num_buckets: int = 1):
+                 num_buckets: int = 1,
+                 num_workers: int = 0,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -134,6 +144,8 @@ class TemporalGraphDataLoader:
         self._epoch = 0
         self._cache: List[Optional[SnapshotSequence]] = [None] * len(dataset)
         self.num_buckets = max(1, num_buckets)
+        self.num_workers = max(0, num_workers)
+        self.prefetch = max(1, prefetch)
         self._bucket_of, self._bucket_dims = self._assign_buckets()
 
     def _seq_node_count(self, i: int) -> int:
@@ -218,8 +230,31 @@ class TemporalGraphDataLoader:
         if self.shuffle:
             rng.shuffle(batches)
 
-        for idx_full, mask in batches:
+        def make(idx_full, mask):
             seqs = [self._built(int(i)) for i in idx_full]
             batch = batch_sequences(seqs)
             labels = jnp.asarray(labels_np[idx_full], dtype=label_dtype)
-            yield batch, labels, jnp.asarray(mask)
+            return batch, labels, jnp.asarray(mask)
+
+        if self.num_workers <= 0:
+            for idx_full, mask in batches:
+                yield make(idx_full, mask)
+            return
+
+        # prefetching path: up to `prefetch` batches in flight, yielded
+        # in order
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            pending = deque()
+            it = iter(batches)
+            for nb in (next(it, None) for _ in range(self.prefetch)):
+                if nb is None:
+                    break
+                pending.append(ex.submit(make, *nb))
+            while pending:
+                fut = pending.popleft()
+                nb = next(it, None)
+                if nb is not None:
+                    pending.append(ex.submit(make, *nb))
+                yield fut.result()

@@ -188,7 +188,8 @@ class TAGAN:
                 return xx
 
             if use_flash:
-                from ..ops.pallas.flash_geometric import make_block_plan
+                from ..ops.pallas.flash_geometric import (
+                    make_block_plans_from_edges)
                 BM, BN = 256, 512   # apply_flash defaults
 
                 def one_step(args):
@@ -199,9 +200,11 @@ class TAGAN:
                     mask = mask.at[diag, diag].max(nm.astype(jnp.int8))
                     # block-sparsity plans once per snapshot, shared by
                     # every layer's forward AND backward kernels (the
-                    # adjacency is layer-invariant)
-                    plan = make_block_plan.__wrapped__(mask, BM, BN)
-                    plan_t = make_block_plan.__wrapped__(mask.T, BN, BM)
+                    # adjacency is layer-invariant); O(E) from the edge
+                    # list — the dense mask is only ever read by the
+                    # kernel's block DMA
+                    plan, plan_t = make_block_plans_from_edges.__wrapped__(
+                        eq, ek, em, nm, N, BM, BN)
                     return _layers(xt, lambda lp, xx: ga.inner.apply_flash(
                         lp, xx, mask, deterministic=True,
                         bf16=c.bf16_matmul, block_m=BM, block_n=BN,

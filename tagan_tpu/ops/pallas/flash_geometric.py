@@ -148,23 +148,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "n_pad"))
-def make_block_plan(mask: jax.Array, block_m: int = 256,
-                    block_n: int = 512, n_pad: Optional[int] = None):
-    """Precompute the block-sparsity plan (jlist, jcount) for a mask.
-
-    Reusable across kernel calls with the same graph — in the model the
-    adjacency is fixed per snapshot, so the plan is computed once per
-    batch, not once per attention layer/step."""
-    N = mask.shape[0]
-    Np = n_pad or _round_up(N, max(block_m, block_n))
-    mask = mask != 0
-    if Np != N:
-        mask = jnp.pad(mask, ((0, Np - N), (0, Np - N)))
-    n_i, n_j = Np // block_m, Np // block_n
-    # boolean any-reduction — never materialize an int32 copy of the
-    # full [N, N] mask (at 10K nodes that is a 20 GB tensor)
-    occ = jnp.any(mask.reshape(n_i, block_m, n_j, block_n), axis=(1, 3))
+def _plan_from_occ(occ: jax.Array):
+    """Compact an occupancy matrix bool[n_i, n_j] into the walk plan
+    (jlist, jcount): occupied j indices per row, padded by repeating the
+    last entry (so the pipeline's same-index dedup skips the DMA)."""
+    n_i, n_j = occ.shape
     jcount = jnp.sum(occ.astype(jnp.int32), axis=1)
     jidx = jnp.broadcast_to(jnp.arange(n_j), (n_i, n_j))
     order = jnp.argsort(jnp.where(occ, jidx, n_j), axis=1)
@@ -174,6 +162,61 @@ def make_block_plan(mask: jax.Array, block_m: int = 256,
     pos = jnp.broadcast_to(jnp.arange(n_j), (n_i, n_j))
     jlist = jnp.where(pos < jcount[:, None], jlist, last).astype(jnp.int32)
     return jlist, jcount.astype(jnp.int32)
+
+
+def _occ_from_mask(mask: jax.Array, block_m: int, block_n: int,
+                   n_pad: Optional[int] = None) -> jax.Array:
+    N = mask.shape[0]
+    Np = n_pad or _round_up(N, max(block_m, block_n))
+    mask = mask != 0
+    if Np != N:
+        mask = jnp.pad(mask, ((0, Np - N), (0, Np - N)))
+    n_i, n_j = Np // block_m, Np // block_n
+    # boolean any-reduction — never materialize an int32 copy of the
+    # full [N, N] mask (at 10K nodes that is a 20 GB tensor)
+    return jnp.any(mask.reshape(n_i, block_m, n_j, block_n), axis=(1, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "n_pad"))
+def make_block_plan(mask: jax.Array, block_m: int = 256,
+                    block_n: int = 512, n_pad: Optional[int] = None):
+    """Precompute the block-sparsity plan (jlist, jcount) for a mask.
+
+    Reusable across kernel calls with the same graph — in the model the
+    adjacency is fixed per snapshot, so the plan is computed once per
+    batch, not once per attention layer/step."""
+    return _plan_from_occ(_occ_from_mask(mask, block_m, block_n, n_pad))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "block_m", "block_n",
+                                             "n_pad", "self_loops"))
+def make_block_plans_from_edges(
+    edge_src: jax.Array, edge_dst: jax.Array, edge_mask: jax.Array,
+    node_mask: Optional[jax.Array], n: int,
+    block_m: int = 256, block_n: int = 512,
+    n_pad: Optional[int] = None, self_loops: bool = True,
+):
+    """Both walk plans — (plan, plan_t) for the forward/dq and dk/dv
+    kernels — straight from the edge list in O(E) (one segment-sum over
+    block-pair ids), never touching the dense [N, N] mask. The
+    transposed occupancy is just ``occ.T``, so no 100 MB int8 mask
+    transpose either. Matches make_block_plan(mask)/(mask.T) exactly
+    when the mask is the densified edge list (+ self loops on live
+    nodes, graph_attention.py:102)."""
+    Np = n_pad or _round_up(n, max(block_m, block_n))
+    n_i, n_j = Np // block_m, Np // block_n
+    pid = (edge_src // block_m) * n_j + (edge_dst // block_n)
+    contrib = jax.ops.segment_sum(edge_mask.astype(jnp.int32), pid,
+                                  num_segments=n_i * n_j)
+    if self_loops:
+        d = jnp.arange(n)
+        dm = jnp.ones((n,), jnp.int32) if node_mask is None \
+            else node_mask.astype(jnp.int32)
+        did = (d // block_m) * n_j + (d // block_n)
+        contrib = contrib + jax.ops.segment_sum(dm, did,
+                                                num_segments=n_i * n_j)
+    occ = contrib.reshape(n_i, n_j) > 0
+    return _plan_from_occ(occ), _plan_from_occ(occ.T)
 
 
 def occupied_blocks_bound(mask, block_m: int = 256,
@@ -286,10 +329,16 @@ def flash_geometric_attention(
                               plan=plan)
     N = q.shape[1]
     Np = _round_up(N, max(block_m, block_n))
-    if plan is None:
+    if plan is None and plan_t is None:
+        # one occupancy reduction serves both plans (occ_t == occ.T) —
+        # never transpose the [N, N] mask
+        occ = _occ_from_mask(mask, block_m, block_n, Np)
+        plan = _plan_from_occ(occ)
+        plan_t = _plan_from_occ(occ.T)
+    elif plan is None:
         plan = make_block_plan.__wrapped__(mask, block_m, block_n,
                                            n_pad=Np)
-    if plan_t is None:
+    elif plan_t is None:
         plan_t = make_block_plan.__wrapped__(mask.T, block_n, block_m,
                                              n_pad=Np)
     jlist, jcount = _shrink_plan(plan, max_blocks_per_row)

@@ -111,9 +111,66 @@ class TAGANTrainer:
         self._train_step = jax.jit(train_step)
         self._eval_step = jax.jit(eval_step)
 
+        def train_scan(params, opt_state, batches, labels, masks, rng,
+                       lr_scale):
+            """lax.scan of train_step over stacked batches — one device
+            program per epoch chunk instead of one per step. On TPU this
+            removes per-step launch latency entirely (host only sees the
+            final state); through this image's relay it is the only
+            honest way to chain steps (CLAUDE.md timing notes)."""
+            def body(carry, inp):
+                params, opt_state, rng = carry
+                batch, lab, msk = inp
+                rng, sr = jax.random.split(rng)
+                params, opt_state, loss, preds = train_step(
+                    params, opt_state, batch, lab, msk, sr, lr_scale)
+                return (params, opt_state, rng), (loss, preds)
+            (params, opt_state, rng), (losses, preds) = jax.lax.scan(
+                body, (params, opt_state, rng), (batches, labels, masks))
+            return params, opt_state, rng, losses, preds
+
+        self._train_scan = jax.jit(train_scan)
+
     # -- epoch loops ------------------------------------------------------
+    def _run_epoch_fused(self, loader) -> Tuple[float, Dict[str, float]]:
+        """Training epoch as lax.scan'd device programs: batches are
+        stacked host-side (grouped by shape — size buckets scan
+        separately) and the whole group runs as ONE dispatch. Identical
+        math to the per-step path."""
+        groups: Dict[Any, list] = {}
+        for batch, labels, mask in loader:
+            key = tuple((tuple(l.shape), str(l.dtype))
+                        for l in jax.tree_util.tree_leaves(batch))
+            groups.setdefault(key, []).append((batch, labels, mask))
+
+        losses, all_preds, all_labels = [], [], []
+        for items in groups.values():
+            bs = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[b for b, _, _ in items])
+            ls = jnp.stack([l for _, l, _ in items])
+            ms = jnp.stack([m for _, _, m in items])
+            self.rng, sr = jax.random.split(self.rng)
+            self.params, self.opt_state, _, step_losses, preds = \
+                self._train_scan(self.params, self.opt_state, bs, ls, ms,
+                                 sr, jnp.asarray(self._plateau_lr_scale))
+            self.global_step += len(items)
+            m_np = np.asarray(ms)
+            losses.extend(np.asarray(step_losses).tolist())
+            all_preds.append(np.asarray(preds)[m_np])
+            all_labels.append(np.asarray(ls)[m_np])
+        preds = np.concatenate(all_preds) if all_preds else np.zeros((0, 1))
+        labels = np.concatenate(all_labels) if all_labels else np.zeros((0,))
+        if self.config.output_dim == 1:
+            metrics = calculate_metrics(preds.reshape(-1), labels,
+                                        threshold=0.5)
+        else:
+            metrics = calculate_metrics(preds, labels)
+        return float(np.mean(losses)) if losses else 0.0, metrics
+
     def _run_epoch(self, loader, train: bool
                    ) -> Tuple[float, Dict[str, float]]:
+        if train and self.experiment.fused_epochs:
+            return self._run_epoch_fused(loader)
         losses, all_preds, all_labels = [], [], []
         for batch, labels, mask in loader:
             if train:

@@ -158,3 +158,24 @@ def test_flash_backward_bf16_close():
     for a, b in zip(g32, g16):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0.05, atol=0.05)
+
+
+def test_plans_from_edges_match_mask_plans():
+    """O(E) edge-list plan construction == the dense-mask plans."""
+    rng = np.random.default_rng(11)
+    N, E = 96, 150
+    eq = rng.integers(0, N, E)
+    ek = rng.integers(0, N, E)
+    em = rng.random(E) < 0.8
+    nm = rng.random(N) < 0.9
+    adj = np.zeros((N, N), bool)
+    adj[eq[em], ek[em]] = True
+    d = np.arange(N)
+    adj[d[nm], d[nm]] = True
+    plan, plan_t = FG.make_block_plans_from_edges(
+        jnp.asarray(eq), jnp.asarray(ek), jnp.asarray(em),
+        jnp.asarray(nm), N, 32, 32)
+    want = FG.make_block_plan(jnp.asarray(adj), 32, 32)
+    want_t = FG.make_block_plan(jnp.asarray(adj.T), 32, 32)
+    for a, b in zip(plan + plan_t, want + want_t):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
