@@ -218,7 +218,10 @@ class TAGAN:
                     return _layers(xt, lambda lp, xx: ga.inner.apply_sparse(
                         lp, xx, eq2, ek2, em2, nm, deterministic=True))
 
-            if c.remat:
+            # csr is always rematerialized: its per-edge gather/segment
+            # residuals are cheap to recompute but (unremat'd) blow past
+            # the TPU compiler's temp budget at 10K+ nodes
+            if c.remat or use_csr:
                 one_step = jax.checkpoint(one_step)
             x = jax.lax.map(one_step, (x, seq.edge_src, seq.edge_dst,
                                        seq.edge_mask, seq.node_mask))
