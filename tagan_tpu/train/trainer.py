@@ -58,9 +58,17 @@ class TAGANTrainer:
 
     def __init__(self, model: TAGAN,
                  experiment: Optional[ExperimentConfig] = None,
-                 params=None, rng: Optional[jax.Array] = None):
+                 params=None, rng: Optional[jax.Array] = None,
+                 mesh=None):
+        """``mesh``: optional `jax.sharding.Mesh` with ('data', 'graph')
+        axes (see dist.mesh.make_mesh). When given, every jitted step
+        runs SPMD: batches shard over 'data', node slots over 'graph',
+        params/optimizer replicated — GSPMD inserts the gradient
+        all-reduce and attention collectives (dist/spmd.py recipe). The
+        math is identical to single-device."""
         self.model = model
         self.config = model.config
+        self.mesh = mesh
         self.experiment = experiment or ExperimentConfig(model=model.config)
         self.rng = rng if rng is not None else jax.random.key(
             self.experiment.seed)
@@ -108,8 +116,26 @@ class TAGANTrainer:
                 batch, labels)
             return out.loss, out.predictions
 
-        self._train_step = jax.jit(train_step)
-        self._eval_step = jax.jit(eval_step)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..dist.spmd import batch_specs
+            from ..dist.mesh import DATA_AXIS
+            mesh = self.mesh
+            repl = NamedSharding(mesh, P())
+            bspec = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), batch_specs(mesh),
+                is_leaf=lambda s: isinstance(s, P))
+            dvec = NamedSharding(mesh, P(DATA_AXIS))
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(repl, repl, bspec, dvec, dvec, repl, repl),
+                out_shardings=(repl, repl, repl, dvec))
+            self._eval_step = jax.jit(
+                eval_step, in_shardings=(repl, bspec, dvec),
+                out_shardings=(dvec, dvec))
+        else:
+            self._train_step = jax.jit(train_step)
+            self._eval_step = jax.jit(eval_step)
 
         def train_scan(params, opt_state, batches, labels, masks, rng,
                        lr_scale):
@@ -129,7 +155,18 @@ class TAGANTrainer:
                 body, (params, opt_state, rng), (batches, labels, masks))
             return params, opt_state, rng, losses, preds
 
-        self._train_scan = jax.jit(train_scan)
+        if self.mesh is not None:
+            # stacked-epoch shapes get a leading scan axis
+            sspec = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, P(None, *s)),
+                batch_specs(mesh), is_leaf=lambda s: isinstance(s, P))
+            sdvec = NamedSharding(mesh, P(None, DATA_AXIS))
+            self._train_scan = jax.jit(
+                train_scan,
+                in_shardings=(repl, repl, sspec, sdvec, sdvec, repl, repl),
+                out_shardings=(repl, repl, repl, repl, sdvec))
+        else:
+            self._train_scan = jax.jit(train_scan)
 
     # -- epoch loops ------------------------------------------------------
     def _run_epoch_fused(self, loader) -> Tuple[float, Dict[str, float]]:

@@ -90,3 +90,47 @@ def test_batch_is_actually_sharded(setup):
     # batch axis split 4 ways, node axis 2 ways
     assert sh.shard_shape(sb.x.shape)[0] == sb.x.shape[0] // 4
     assert sh.shard_shape(sb.x.shape)[2] == sb.x.shape[2] // 2
+
+
+def test_trainer_with_mesh_matches_single_device():
+    """TAGANTrainer(mesh=...) trains the same trajectory as the
+    single-device trainer (GSPMD data+graph sharding is math-invariant)."""
+    import numpy as np
+    import tagan_tpu as tt
+    from tagan_tpu.data import TemporalGraphDataset, TemporalGraphDataLoader
+    from tagan_tpu.data.synthetic import create_synthetic_data
+    from tagan_tpu.train import TAGANTrainer
+    from tagan_tpu.dist.mesh import make_mesh
+
+    data = create_synthetic_data(num_samples=16, num_nodes_range=(6, 8),
+                                 node_feature_dim=8, edge_feature_dim=0,
+                                 sequence_length=3, balanced=True, seed=2)
+    ds = TemporalGraphDataset(data)
+    cfg = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=1,
+                         node_feature_dim=8, edge_feature_dim=0,
+                         output_dim=1, loss_type="bce", dropout=0.0,
+                         learning_rate=5e-3)
+    model = tt.TAGAN(cfg)
+    exp = tt.ExperimentConfig(model=cfg, batch_size=8, num_epochs=1)
+    loader = TemporalGraphDataLoader(ds, batch_size=8)
+
+    t_single = TAGANTrainer(model, exp)
+    p0, rng0 = t_single.params, t_single.rng
+    t_mesh = TAGANTrainer(model, exp, params=p0, rng=rng0,
+                          mesh=make_mesh(data=2, graph=4))
+    l1, m1 = t_single._run_epoch(loader, True)
+    l2, m2 = t_mesh._run_epoch(loader, True)
+    assert abs(l1 - l2) < 1e-5
+    # params: Adam's g/(sqrt(v)+eps) amplifies cross-shard reduction-
+    # order noise on near-zero grads, so allow per-step drift O(1e-4·lr)
+    for a, b in zip(jax.tree_util.tree_leaves(t_single.params),
+                    jax.tree_util.tree_leaves(t_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3)
+    assert m1["accuracy"] == m2["accuracy"]
+    # fused-epoch path under the mesh too
+    t_mesh2 = TAGANTrainer(model, exp.replace(fused_epochs=True),
+                           params=p0, rng=rng0,
+                           mesh=make_mesh(data=2, graph=4))
+    l3, _ = t_mesh2._run_epoch(loader, True)
+    assert abs(l1 - l3) < 1e-5
