@@ -74,6 +74,14 @@ class TAGANConfig:
     time_encoding_type: str = "basis"
     use_time_masks: bool = True
     max_time_diff: float = 10.0
+    # Which temporal-attention family aggregates over the time axis:
+    # "asymmetric" (the paper's op — reference wiring, model.py:102-111),
+    # "standard" (plain pre-LN MHA, temporal_attention.py:309), or
+    # "multi_scale" (multi-resolution, temporal_attention.py:1220 — dead
+    # in the reference, first-class here).
+    temporal_attention_type: str = "asymmetric"
+    num_time_scales: int = 3
+    scale_fusion: str = "concat"   # concat | sum | weighted_sum | attention
 
     # Loss parameters (config.py:99-101)
     loss_type: str = "ce"
@@ -142,6 +150,14 @@ class TAGANConfig:
         if self.distance_metric is not None and \
                 self.distance_metric not in VALID_DISTANCE_METRICS:
             raise ValueError(f"unknown distance_metric {self.distance_metric}")
+        if self.temporal_attention_type not in ("asymmetric", "standard",
+                                                "multi_scale"):
+            raise ValueError(
+                "temporal_attention_type must be 'asymmetric', 'standard',"
+                f" or 'multi_scale', got {self.temporal_attention_type}")
+        if self.scale_fusion not in ("concat", "sum", "weighted_sum",
+                                     "attention"):
+            raise ValueError(f"unknown scale_fusion {self.scale_fusion}")
         if self.spatial_backend not in ("dense", "csr", "flash"):
             raise ValueError(
                 "spatial_backend must be 'dense', 'csr', or 'flash'")

@@ -90,8 +90,21 @@ class TAGAN:
             max_inactivity=c.temporal_window_size)  # model.py:60
 
     @property
-    def temporal_attention(self) -> AsymmetricTemporalAttention:
+    def temporal_attention(self):
         c = self.config
+        if c.temporal_attention_type == "standard":
+            from .temporal_attention import TemporalAttention
+            return TemporalAttention(
+                hidden_dim=c.hidden_dim, num_heads=c.num_heads,
+                dropout=c.dropout, causal=c.causal_attention,
+                use_layer_norm=c.use_layer_norm)
+        if c.temporal_attention_type == "multi_scale":
+            from .temporal_attention import MultiTimeScaleAttention
+            return MultiTimeScaleAttention(
+                hidden_dim=c.hidden_dim, num_heads=c.num_heads,
+                dropout=c.dropout, use_layer_norm=c.use_layer_norm,
+                time_aware=c.time_aware, num_scales=c.num_time_scales,
+                fusion_type=c.scale_fusion)
         return AsymmetricTemporalAttention(
             hidden_dim=c.hidden_dim, num_heads=c.num_heads,
             dropout=c.dropout, causal=c.causal_attention, time_aware=True,
@@ -346,9 +359,15 @@ class TAGAN:
             # padded step (zero features, time 0) would otherwise pass
             # the |dt| mask and receive softmax mass
             attn_mask = seq.time_mask[None, :] & seq.time_mask[:, None]
-        res = ta(p["temporal_attention"], nt, time_stamps=time_stamps,
-                 attention_mask=attn_mask, deterministic=deterministic,
-                 rng=r_ta, return_weights=return_attention_weights)
+        if c.temporal_attention_type == "standard":
+            # plain MHA takes no timestamps (temporal_attention.py:309)
+            res = ta(p["temporal_attention"], nt,
+                     attention_mask=attn_mask, deterministic=deterministic,
+                     rng=r_ta, return_weights=return_attention_weights)
+        else:
+            res = ta(p["temporal_attention"], nt, time_stamps=time_stamps,
+                     attention_mask=attn_mask, deterministic=deterministic,
+                     rng=r_ta, return_weights=return_attention_weights)
         if return_attention_weights:
             nt, temp_weights = res
         else:

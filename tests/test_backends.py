@@ -3,6 +3,7 @@
 level in tests/test_flash_kernel.py via interpret mode.)"""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -45,3 +46,34 @@ def test_flash_backend_config_accepted():
     assert cfg.spatial_backend == "flash"
     with pytest.raises(ValueError):
         tt.TAGANConfig(spatial_backend="nope")
+
+
+@pytest.mark.parametrize("ttype", ["standard", "multi_scale"])
+def test_temporal_attention_type_variants(ttype):
+    """temporal_attention_type wires TemporalAttention /
+    MultiTimeScaleAttention into the model (the latter is dead code in
+    the reference, first-class here)."""
+    import tagan_tpu as tt
+    from tagan_tpu.data.synthetic import create_synthetic_data
+    data = create_synthetic_data(num_samples=1, num_nodes_range=(6, 6),
+                                 node_feature_dim=8, edge_feature_dim=0,
+                                 sequence_length=4, seed=0)
+    seq = tt.build_sequence(data[0][0])
+    lab = jnp.asarray(1.0)
+    base = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=1,
+                          node_feature_dim=8, edge_feature_dim=0,
+                          output_dim=1, loss_type="bce", dropout=0.0)
+    m_var = tt.TAGAN(base.replace(temporal_attention_type=ttype))
+    p = m_var.init(jax.random.key(0))
+    out = jax.jit(lambda p: m_var(p, seq, lab))(p)
+    assert np.isfinite(float(out.loss))
+    g = jax.jit(jax.grad(lambda p: m_var(p, seq, lab).loss))(p)
+    gn = sum(float(jnp.sum(jnp.abs(x)))
+             for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
+    # differs from the asymmetric default given identical inputs
+    m_def = tt.TAGAN(base)
+    p_def = m_def.init(jax.random.key(0))
+    out_def = jax.jit(lambda pp: m_def(pp, seq, lab))(p_def)
+    assert not np.allclose(np.asarray(out.logits),
+                           np.asarray(out_def.logits))
