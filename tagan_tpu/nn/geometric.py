@@ -193,10 +193,12 @@ class GeometricAttention:
                                                   flash_geometric_attention)
         sigma, gamma, _ = self._metric_params(p)
         scale = sigma if sigma is not None else gamma
-        if self.distance_metric not in MXU_METRICS or scale is not None:
-            # manhattan / mahalanobis are not blockwise-MXU expressible;
-            # learnable sigma/gamma route to the forward-only kernel
-            # variant (no vjp), so training them needs the dense path
+        metric = self.distance_metric
+        if (metric not in MXU_METRICS and metric != "mahalanobis") \
+                or scale is not None:
+            # manhattan is not blockwise-MXU expressible; learnable
+            # sigma/gamma route to the forward-only kernel variant (no
+            # vjp), so training them needs the dense path
             return self(p, x, attention_mask, deterministic=deterministic,
                         rng=rng)
         identity = x
@@ -204,10 +206,19 @@ class GeometricAttention:
         q = self._split_heads(M.linear(p["q"], h))
         k = self._split_heads(M.linear(p["k"], h))
         v = self._split_heads(M.linear(p["v"], h))
+        if metric == "mahalanobis":
+            # maha(q,k; FᵀF) = |Fq − Fk|² — euclidean in factor space
+            # (same 1e-8 eps inside the sqrt); F grads flow through the
+            # einsum outside the kernel's custom_vjp
+            metric = "euclidean"
+            if self.learnable_distance:
+                f = p["cov_factors"]                       # [H, R, Dh]
+                q = jnp.einsum("...hnd,hrd->...hnr", q, f)
+                k = jnp.einsum("...hnd,hrd->...hnr", k, f)
 
         def one(qh, kh, vh, mh, pln=plan, pln_t=plan_t):
             return flash_geometric_attention(
-                qh, kh, vh, mh, metric=self.distance_metric,
+                qh, kh, vh, mh, metric=metric,
                 scale_param=scale, block_m=block_m, block_n=block_n,
                 bf16=bf16, max_blocks_per_row=max_blocks_per_row,
                 plan=pln, plan_t=pln_t,

@@ -22,8 +22,10 @@ row norms (so the MXU does the heavy lifting):
     cosine_similarity    s = clip(qk_normalized, -1, 1)   (q, k pre-normalized)
     cosine_distance      s = clip(..) - 1
 
-(manhattan / mahalanobis are not MXU-expressible blockwise and stay on
-the XLA path.)
+mahalanobis with a low-rank PSD metric FᵀF rides the euclidean kernel
+in factor space (|Fq − Fk|², transform applied by the caller —
+nn.geometric.apply_flash); only manhattan is not MXU-expressible
+blockwise and stays on the XLA path. q/k and v feature dims may differ.
 
 Note on numerics: the kernel uses the norm-expansion form of the
 squared distance; the XLA oracle uses subtract-then-square. They agree
@@ -376,6 +378,8 @@ def _flash_forward(
         raise NotImplementedError(
             f"metric {metric} is not MXU-expressible; use ops.sparse")
     H, N, D = q.shape
+    Dv = v.shape[-1]          # q/k and v feature dims may differ (e.g.
+                              # mahalanobis runs q/k in factor space)
     if metric in ("cosine_similarity", "cosine_distance"):
         def _norm(x):
             n = jnp.linalg.norm(x, axis=-1, keepdims=True)
@@ -387,11 +391,11 @@ def _flash_forward(
 
     # pad to block multiples; padded mask columns/rows are zero
     Np = _round_up(N, max(block_m, block_n))
-    Dp = _round_up(D, 128)
-    if Np != N or Dp != D:
+    Dp = _round_up(max(D, Dv), 128)
+    if Np != N or Dp != D or Dp != Dv:
         q = jnp.pad(q, ((0, 0), (0, Np - N), (0, Dp - D)))
         k = jnp.pad(k, ((0, 0), (0, Np - N), (0, Dp - D)))
-        v = jnp.pad(v, ((0, 0), (0, Np - N), (0, Dp - D)))
+        v = jnp.pad(v, ((0, 0), (0, Np - N), (0, Dp - Dv)))
         mask = jnp.pad(mask.astype(jnp.int8),
                        ((0, Np - N), (0, Np - N)))
     mask = mask.astype(jnp.int8)
@@ -462,8 +466,8 @@ def _flash_forward(
     )(jlist, jcount.astype(jnp.int32), scale_param.astype(jnp.float32),
       q, k, v, mask)
     if return_lse:
-        return out[:, :N, :D], lse[:, :N, 0]
-    return out[:, :N, :D]
+        return out[:, :N, :Dv], lse[:, :N, 0]
+    return out[:, :N, :Dv]
 
 
 # ---------------------------------------------------------------------------
@@ -608,15 +612,17 @@ def flash_geometric_attention_bwd(
     if metric not in BWD_METRICS:
         raise NotImplementedError(metric)
     H, N, D = q.shape
+    Dv = v.shape[-1]
     Np = _round_up(N, max(block_m, block_n))
-    Dp = _round_up(D, 128)
-    if Np != N or Dp != D:
-        pad3 = ((0, 0), (0, Np - N), (0, Dp - D))
-        q = jnp.pad(q, pad3)
-        k = jnp.pad(k, pad3)
-        v = jnp.pad(v, pad3)
-        do = jnp.pad(do, pad3)
-        out = jnp.pad(out, pad3)
+    Dp = _round_up(max(D, Dv), 128)
+    if Np != N or Dp != D or Dp != Dv:
+        padqk = ((0, 0), (0, Np - N), (0, Dp - D))
+        padv = ((0, 0), (0, Np - N), (0, Dp - Dv))
+        q = jnp.pad(q, padqk)
+        k = jnp.pad(k, padqk)
+        v = jnp.pad(v, padv)
+        do = jnp.pad(do, padv)
+        out = jnp.pad(out, padv)
         mask = jnp.pad(mask.astype(jnp.int8), ((0, Np - N), (0, Np - N)))
         lse = jnp.pad(lse, ((0, 0), (0, Np - N)),
                       constant_values=LSE_DEAD)
@@ -718,4 +724,4 @@ def flash_geometric_attention_bwd(
                    jax.ShapeDtypeStruct((H, Np, Dp), v.dtype)),
     )(ilist, icount, q, k, v, mask, do, lse_i, delta_i)
 
-    return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :D]
+    return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv]

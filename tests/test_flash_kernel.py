@@ -179,3 +179,34 @@ def test_plans_from_edges_match_mask_plans():
     want_t = FG.make_block_plan(jnp.asarray(adj.T), 32, 32)
     for a, b in zip(plan + plan_t, want + want_t):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_mahalanobis_matches_dense():
+    """apply_flash routes mahalanobis through the euclidean kernel in
+    factor space — matches the dense path, including learnable factors,
+    and carries gradients into the factors."""
+    from tagan_tpu.nn import GeometricAttention
+    for learnable in (False, True):
+        attn = GeometricAttention(hidden_dim=32, num_heads=2, dropout=0.0,
+                                  distance_metric="mahalanobis",
+                                  learnable_distance=learnable)
+        params = attn.init(jax.random.key(1))
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((40, 32)), jnp.float32)
+        adj = rng.random((40, 40)) < 0.3
+        np.fill_diagonal(adj, True)
+        dense = attn(params, x, jnp.asarray(adj))
+        flash = attn.apply_flash(params, x, jnp.asarray(adj),
+                                 block_m=16, block_n=16)
+        np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"learnable={learnable}")
+        if learnable:
+            g = jax.grad(lambda pp: jnp.sum(attn.apply_flash(
+                pp, x, jnp.asarray(adj), block_m=16, block_n=16) ** 2))(params)
+            gd = jax.grad(lambda pp: jnp.sum(attn(
+                pp, x, jnp.asarray(adj)) ** 2))(params)
+            np.testing.assert_allclose(
+                np.asarray(g["cov_factors"]), np.asarray(gd["cov_factors"]),
+                rtol=2e-3, atol=2e-3)
+            assert float(jnp.sum(jnp.abs(g["cov_factors"]))) > 0
