@@ -194,11 +194,8 @@ class GeometricAttention:
         sigma, gamma, _ = self._metric_params(p)
         scale = sigma if sigma is not None else gamma
         metric = self.distance_metric
-        if (metric not in MXU_METRICS and metric != "mahalanobis") \
-                or scale is not None:
-            # manhattan is not blockwise-MXU expressible; learnable
-            # sigma/gamma route to the forward-only kernel variant (no
-            # vjp), so training them needs the dense path
+        if metric not in MXU_METRICS and metric != "mahalanobis":
+            # manhattan is not blockwise-MXU expressible
             return self(p, x, attention_mask, deterministic=deterministic,
                         rng=rng)
         identity = x

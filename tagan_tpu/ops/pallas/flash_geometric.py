@@ -288,6 +288,37 @@ def _flash_diff_bwd(metric, block_m, block_n, bf16, res, g):
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _flash_diff_scaled(q, k, v, scale, mask, jlist, jcount,
+                       metric, block_m, block_n, bf16):
+    """Scale-parameterized variant (gaussian sigma / rbf gamma): Pallas
+    kernel forward, dense XLA-recompute backward that also yields
+    d(scale) — O(N^2) HBM only while differentiating."""
+    return _flash_forward(q, k, v, mask, metric=metric, scale_param=scale,
+                          block_m=block_m, block_n=block_n, bf16=bf16,
+                          plan=(jlist, jcount))
+
+
+def _flash_diff_scaled_fwd(q, k, v, scale, mask, jlist, jcount,
+                           metric, block_m, block_n, bf16):
+    out = _flash_forward(q, k, v, mask, metric=metric, scale_param=scale,
+                         block_m=block_m, block_n=block_n, bf16=bf16,
+                         plan=(jlist, jcount))
+    return out, (q, k, v, scale, mask)
+
+
+def _flash_diff_scaled_bwd(metric, block_m, block_n, bf16, res, g):
+    q, k, v, scale, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, s_: _xla_reference(metric, q_, k_, v_, mask, s_),
+        q, k, v, scale)
+    dq, dk, dv, ds = vjp(g)
+    return dq, dk, dv, ds, None, None, None
+
+
+_flash_diff_scaled.defvjp(_flash_diff_scaled_fwd, _flash_diff_scaled_bwd)
+
+
 def _shrink_plan(plan, walk: Optional[int]):
     """Statically truncate a (list, count) plan to `walk` entries."""
     lst, cnt = plan
@@ -317,18 +348,9 @@ def flash_geometric_attention(
     statically shrink the forward/backward grids for block-sparse graphs
     (must upper-bound the true occupancy — see `occupied_blocks_bound`).
 
-    For kernel-parameterized metrics (gaussian/rbf with learnable
-    sigma/gamma) gradients flow only through q/k/v, not the scale
-    parameter — route those through the dense path when training the
-    scale."""
-    if scale_param is not None:
-        # scale variants: forward-only kernel (used by inference and
-        # bench paths); fall back to the raw wrapper
-        return _flash_forward(q, k, v, mask, metric=metric,
-                              scale_param=scale_param, block_m=block_m,
-                              block_n=block_n, bf16=bf16,
-                              max_blocks_per_row=max_blocks_per_row,
-                              plan=plan)
+    Kernel-parameterized metrics (gaussian/rbf with learnable
+    sigma/gamma) run the Pallas forward too; their backward recomputes
+    densely through XLA so gradients flow into q/k/v AND the scale."""
     N = q.shape[1]
     Np = _round_up(N, max(block_m, block_n))
     if plan is None and plan_t is None:
@@ -345,6 +367,9 @@ def flash_geometric_attention(
                                              n_pad=Np)
     jlist, jcount = _shrink_plan(plan, max_blocks_per_row)
     ilist, icount = _shrink_plan(plan_t, max_blocks_per_col)
+    if scale_param is not None:
+        return _flash_diff_scaled(q, k, v, scale_param, mask, jlist,
+                                  jcount, metric, block_m, block_n, bf16)
     return _flash_diff(q, k, v, mask, jlist, jcount, ilist, icount,
                        metric, block_m, block_n, bf16)
 

@@ -210,3 +210,31 @@ def test_flash_mahalanobis_matches_dense():
                 np.asarray(g["cov_factors"]), np.asarray(gd["cov_factors"]),
                 rtol=2e-3, atol=2e-3)
             assert float(jnp.sum(jnp.abs(g["cov_factors"]))) > 0
+
+
+@pytest.mark.parametrize("metric", ["gaussian_kernel", "rbf_kernel"])
+def test_flash_learnable_scale_grads(metric):
+    """Learnable sigma/gamma now train through the flash forward: grads
+    (incl. d(scale)) match the dense path."""
+    from tagan_tpu.nn import GeometricAttention
+    attn = GeometricAttention(hidden_dim=32, num_heads=2, dropout=0.0,
+                              distance_metric=metric,
+                              learnable_distance=True)
+    params = attn.init(jax.random.key(2))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((40, 32)), jnp.float32)
+    adj = rng.random((40, 40)) < 0.3
+    np.fill_diagonal(adj, True)
+    adj = jnp.asarray(adj)
+
+    flash = attn.apply_flash(params, x, adj, block_m=16, block_n=16)
+    dense = attn(params, x, adj)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               rtol=2e-4, atol=2e-4)
+    gf = jax.grad(lambda pp: jnp.sum(attn.apply_flash(
+        pp, x, adj, block_m=16, block_n=16) ** 2))(params)
+    gd = jax.grad(lambda pp: jnp.sum(attn(pp, x, adj) ** 2))(params)
+    np.testing.assert_allclose(np.asarray(gf["distance_param"]),
+                               np.asarray(gd["distance_param"]),
+                               rtol=2e-3, atol=2e-3)
+    assert float(jnp.sum(jnp.abs(gf["distance_param"]))) > 0
