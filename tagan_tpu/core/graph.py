@@ -139,6 +139,44 @@ def _unpack_snapshot(snap: SnapshotLike):
     return x, edge_index, edge_attr, node_ids, t
 
 
+def locality_order(unpacked) -> list:
+    """Reverse Cuthill–McKee order of the union graph's node IDs.
+
+    Slot assignment is semantically arbitrary (every slot-space op is
+    permutation-equivariant), but it decides *block* structure: RCM
+    clusters each node's neighbors into nearby slots, so the flash
+    kernel's block-sparsity plans (ops.pallas.flash_geometric) walk far
+    fewer occupied [BM, BN] blocks than under sorted-ID slots."""
+    import collections
+    adjd = collections.defaultdict(set)
+    allids = set()
+    for (xt, ei, ea, ids, tv) in unpacked:
+        ids = list(ids)
+        allids.update(ids)
+        if ei is not None and ei.size:
+            for a, b in zip(np.asarray(ei[0]), np.asarray(ei[1])):
+                u, w = ids[int(a)], ids[int(b)]
+                if u != w:
+                    adjd[u].add(w)
+                    adjd[w].add(u)
+    deg = {i: len(adjd[i]) for i in allids}
+    visited = set()
+    order = []
+    for start in sorted(allids, key=lambda i: (deg[i], i)):
+        if start in visited:
+            continue
+        visited.add(start)
+        queue = collections.deque([start])
+        while queue:
+            u = queue.popleft()
+            order.append(u)
+            for w in sorted(adjd[u], key=lambda i: (deg[i], i)):
+                if w not in visited:
+                    visited.add(w)
+                    queue.append(w)
+    return order[::-1]
+
+
 def build_sequence(
     snapshots: Sequence[SnapshotLike],
     max_nodes: Optional[int] = None,
@@ -147,6 +185,7 @@ def build_sequence(
     edge_feature_dim: Optional[int] = None,
     use_native: bool = True,
     dense_adj: bool = True,
+    reorder: Optional[str] = None,
 ) -> SnapshotSequence:
     """Convert a ragged snapshot list (reference wire format) into a
     static-shape `SnapshotSequence` (numpy; call `jax.device_put` or let
@@ -159,9 +198,36 @@ def build_sequence(
     (N >~ 4K), where the flash/csr backends rebuild masks from the edge
     lists and the dense tensor would dominate HBM and host->device
     transfer.
+
+    ``reorder="rcm"`` assigns slots in reverse Cuthill–McKee order of
+    the union graph instead of sorted-ID order — numerically identical
+    outputs (slot ops are permutation-equivariant), much better block
+    sparsity for the flash kernel on graphs with locality.
     """
     T = len(snapshots)
     unpacked = [_unpack_snapshot(s) for s in snapshots]
+
+    orig_order = None
+    if reorder is not None:
+        if reorder != "rcm":
+            raise ValueError(f"unknown reorder {reorder!r} (use 'rcm')")
+        order = locality_order(unpacked)
+        rank = {nid: r for r, nid in enumerate(order)}
+        # remap IDs to their RCM rank; the packers below assign slots in
+        # sorted-ID order, which now IS the RCM order. node_ids is
+        # rewritten to the original IDs afterwards.
+        unpacked = [(xt, ei, ea, [rank[i] for i in ids], tv)
+                    for (xt, ei, ea, ids, tv) in unpacked]
+        orig_order = np.asarray(order, np.int32)
+
+    def _restore_ids(seq: SnapshotSequence) -> SnapshotSequence:
+        if orig_order is None:
+            return seq
+        ids = np.asarray(seq.node_ids)
+        restored = np.where(ids >= 0,
+                            orig_order[np.clip(ids, 0, len(orig_order) - 1)],
+                            -1).astype(np.int32)
+        return dataclasses.replace(seq, node_ids=jnp.asarray(restored))
 
     if use_native and T > 0:
         from .. import native as _native
@@ -174,7 +240,7 @@ def build_sequence(
             if packed is not None:
                 (x, node_mask, adj, edge_src, edge_dst, edge_mask,
                  edge_attr, times, time_mask, node_ids) = packed
-                return SnapshotSequence(
+                return _restore_ids(SnapshotSequence(
                     x=jnp.asarray(x), node_mask=jnp.asarray(node_mask),
                     adj=jnp.asarray(adj), edge_src=jnp.asarray(edge_src),
                     edge_dst=jnp.asarray(edge_dst),
@@ -182,7 +248,7 @@ def build_sequence(
                     edge_attr=jnp.asarray(edge_attr),
                     times=jnp.asarray(times),
                     time_mask=jnp.asarray(time_mask),
-                    node_ids=jnp.asarray(node_ids))
+                    node_ids=jnp.asarray(node_ids)))
 
     all_ids = sorted({i for (_, _, _, ids, _) in unpacked for i in ids})
     id_to_slot = {nid: s for s, nid in enumerate(all_ids)}
@@ -240,12 +306,13 @@ def build_sequence(
         times[t] = float(tv) if tv is not None else float(t)
         time_mask[t] = True
 
-    return SnapshotSequence(
+    return _restore_ids(SnapshotSequence(
         x=jnp.asarray(x), node_mask=jnp.asarray(node_mask),
         adj=jnp.asarray(adj), edge_src=jnp.asarray(edge_src),
         edge_dst=jnp.asarray(edge_dst), edge_mask=jnp.asarray(edge_mask),
         edge_attr=jnp.asarray(edge_attr), times=jnp.asarray(times),
-        time_mask=jnp.asarray(time_mask), node_ids=jnp.asarray(node_ids_arr))
+        time_mask=jnp.asarray(time_mask),
+        node_ids=jnp.asarray(node_ids_arr)))
 
 
 def _resolve_dims(unpacked, max_nodes, max_edges, max_time,

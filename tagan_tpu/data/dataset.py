@@ -128,7 +128,8 @@ class TemporalGraphDataLoader:
                  drop_remainder: bool = False,
                  num_buckets: int = 1,
                  num_workers: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 reorder: Optional[str] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -146,6 +147,7 @@ class TemporalGraphDataLoader:
         self.num_buckets = max(1, num_buckets)
         self.num_workers = max(0, num_workers)
         self.prefetch = max(1, prefetch)
+        self.reorder = reorder   # 'rcm' = locality slot order (flash perf)
         self._bucket_of, self._bucket_dims = self._assign_buckets()
 
     def _seq_node_count(self, i: int) -> int:
@@ -185,7 +187,8 @@ class TemporalGraphDataLoader:
             self._cache[i] = build_sequence(
                 self.dataset.sequences[i], max_nodes=Nm,
                 max_edges=Em, max_time=Tm,
-                edge_feature_dim=self.edge_feature_dim)
+                edge_feature_dim=self.edge_feature_dim,
+                reorder=self.reorder)
         return self._cache[i]
 
     def __len__(self) -> int:
