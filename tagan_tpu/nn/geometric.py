@@ -174,8 +174,8 @@ class GeometricAttention:
         *,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
-        block_m: int = 256,
-        block_n: int = 512,
+        block_m: int = 512,
+        block_n: int = 1024,
         max_blocks_per_row: Optional[int] = None,
         bf16: bool = False,
         plan=None,

@@ -203,7 +203,7 @@ class TAGAN:
             if use_flash:
                 from ..ops.pallas.flash_geometric import (
                     make_block_plans_from_edges)
-                BM, BN = 256, 512   # apply_flash defaults
+                BM, BN = 512, 1024  # apply_flash defaults
 
                 def one_step(args):
                     xt, eq, ek, em, nm = args

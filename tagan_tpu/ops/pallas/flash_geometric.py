@@ -180,8 +180,8 @@ def _occ_from_mask(mask: jax.Array, block_m: int, block_n: int,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "n_pad"))
-def make_block_plan(mask: jax.Array, block_m: int = 256,
-                    block_n: int = 512, n_pad: Optional[int] = None):
+def make_block_plan(mask: jax.Array, block_m: int = 512,
+                    block_n: int = 1024, n_pad: Optional[int] = None):
     """Precompute the block-sparsity plan (jlist, jcount) for a mask.
 
     Reusable across kernel calls with the same graph — in the model the
@@ -195,7 +195,7 @@ def make_block_plan(mask: jax.Array, block_m: int = 256,
 def make_block_plans_from_edges(
     edge_src: jax.Array, edge_dst: jax.Array, edge_mask: jax.Array,
     node_mask: Optional[jax.Array], n: int,
-    block_m: int = 256, block_n: int = 512,
+    block_m: int = 512, block_n: int = 1024,
     n_pad: Optional[int] = None, self_loops: bool = True,
 ):
     """Both walk plans — (plan, plan_t) for the forward/dq and dk/dv
@@ -221,8 +221,8 @@ def make_block_plans_from_edges(
     return _plan_from_occ(occ), _plan_from_occ(occ.T)
 
 
-def occupied_blocks_bound(mask, block_m: int = 256,
-                          block_n: int = 512) -> int:
+def occupied_blocks_bound(mask, block_m: int = 512,
+                          block_n: int = 1024) -> int:
     """Host-side helper: the max number of occupied [block_m, block_n]
     key blocks over query blocks — a safe static value for
     `flash_geometric_attention(max_blocks_per_row=...)`."""
@@ -335,7 +335,7 @@ def flash_geometric_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
     metric: str = "scaled_dot_product",
     scale_param: Optional[jax.Array] = None,
-    block_m: int = 256, block_n: int = 512, bf16: bool = False,
+    block_m: int = 512, block_n: int = 1024, bf16: bool = False,
     max_blocks_per_row: Optional[int] = None, plan=None,
     plan_t=None, max_blocks_per_col: Optional[int] = None,
 ) -> jax.Array:
@@ -381,8 +381,8 @@ def _flash_forward(
     mask: jax.Array,         # bool/int8 [N, N] — True where j attends-to
     metric: str = "scaled_dot_product",
     scale_param: Optional[jax.Array] = None,   # [H] sigma/gamma
-    block_m: int = 256,
-    block_n: int = 512,
+    block_m: int = 512,
+    block_n: int = 1024,
     bf16: bool = False,
     max_blocks_per_row: Optional[int] = None,
     plan=None,    # optional precomputed (jlist, jcount) from make_block_plan
@@ -627,7 +627,7 @@ def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, q_ref, k_ref, v_ref,
 def flash_geometric_attention_bwd(
     q, k, v, mask, out, lse, do,
     metric: str = "scaled_dot_product",
-    block_m: int = 256, block_n: int = 512, bf16: bool = False,
+    block_m: int = 512, block_n: int = 1024, bf16: bool = False,
     plan=None, plan_t=None,
 ):
     """Pallas flash backward: (dq, dk, dv) without materializing [N, N]
