@@ -114,7 +114,10 @@ class TAGAN:
             relative_position_bias=c.asymmetric_temporal_bias,
             max_relative_position=c.max_relative_position,
             time_encoding_type=c.time_encoding_type,
-            use_time_masks=c.use_time_masks, max_time_diff=c.max_time_diff)
+            use_time_masks=c.use_time_masks, max_time_diff=c.max_time_diff,
+            # intended semantics: past keys start with the higher kernel
+            # weight; 'executed' keeps the reference's flipped init (B11)
+            orient_past_high=(c.compat_mode != "executed"))
 
     @property
     def classification_head(self) -> ClassificationModule:

@@ -148,6 +148,14 @@ class AsymmetricTemporalAttention:
     use_time_masks: bool = True
     max_time_diff: float = 10.0
     coerce_permissive_to_causal: bool = False   # Oracle-A quirk (:1143-1148)
+    # The reference's init comments say "past context gets higher
+    # weight", but its table is indexed by rel = i - j, so the indices
+    # its init loop treats as "past" (i < center ↔ rel < 0 ↔ j > i) are
+    # actually FUTURE keys — the orientation is flipped (latent bug
+    # B11, temporal_attention.py:713-730). False = replicate the
+    # reference exactly (parity); True = the documented intent: keys in
+    # the query's past start with the higher weight.
+    orient_past_high: bool = False
 
     @property
     def base(self) -> TemporalAttention:
@@ -182,14 +190,21 @@ class AsymmetricTemporalAttention:
         return p
 
     def _init_asymmetric_kernel(self) -> jax.Array:
-        """Exact reference init (:713-730): past 1-0.5*d/W, future
-        discount*(1-0.5*d/W), center 1."""
+        """Reference init values (:713-730): 1-0.5*d/W on one side,
+        discount*(1-0.5*d/W) on the other, center 1. Orientation per
+        `orient_past_high` (see B11 note above): False replicates the
+        reference byte-for-byte (high weights land on future keys);
+        True realizes the documented intent (high weights on past keys,
+        i.e. table indices with rel = i - j > 0)."""
         w = self.asymmetric_window_size
         idx = jnp.arange(2 * w + 1)
         dist = jnp.abs(idx - w).astype(jnp.float32)
         base = 1.0 - 0.5 * (dist / w)
-        vals = jnp.where(idx < w, base,
-                         jnp.where(idx > w, self.future_discount * base, 1.0))
+        high_side = (idx > w) if self.orient_past_high else (idx < w)
+        low_side = (idx < w) if self.orient_past_high else (idx > w)
+        vals = jnp.where(high_side, base,
+                         jnp.where(low_side, self.future_discount * base,
+                                   1.0))
         return jnp.repeat(vals[:, None], self.num_heads, axis=1)
 
     # -- score components -------------------------------------------------

@@ -96,3 +96,49 @@ def test_rcm_reorder_dynamic_churn_invariant():
         p, tt.build_sequence(snaps, reorder="rcm"))
     np.testing.assert_allclose(np.asarray(o1.logits), np.asarray(o2.logits),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_temporal_asymmetry_invariant():
+    """The core 'asymmetric' property (debug_tagan.py:341-494 diagnostic
+    as an invariant): with future_discount < 1 the temporal attention
+    matrix is measurably asymmetric, and past positions receive more
+    mass than future ones at the default init."""
+    from tagan_tpu.nn.temporal_attention import AsymmetricTemporalAttention
+    T, Hd = 9, 16
+    attn = AsymmetricTemporalAttention(hidden_dim=Hd, num_heads=2,
+                                       dropout=0.0, future_discount=0.5,
+                                       time_aware=False,
+                                       orient_past_high=True)
+    p = attn.init(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, T, Hd)),
+                    jnp.float32)
+    _, w = attn(p, x, return_weights=True)   # [B, H, T, T]
+    w = np.asarray(w).mean(axis=(0, 1))
+    asym = np.abs(w - w.T).mean()
+    assert asym > 1e-3, f"attention unexpectedly symmetric ({asym})"
+    # with content scores silenced (x=0 -> uniform QK logits) the
+    # asymmetric kernel alone sets the mass: past must beat future
+    _, w0 = attn(p, jnp.zeros_like(x), return_weights=True)
+    w0 = np.asarray(w0).mean(axis=(0, 1))
+    mid = T // 2
+    past = w0[mid, :mid].sum()
+    future = w0[mid, mid + 1:].sum()
+    assert past > future, (past, future)
+
+
+def test_asymmetric_kernel_orientation_flag():
+    """B11: default replicates the reference's flipped init; the flag
+    realizes the documented intent (mirror tables)."""
+    from tagan_tpu.nn.temporal_attention import AsymmetricTemporalAttention
+    a = AsymmetricTemporalAttention(hidden_dim=16, num_heads=2,
+                                    future_discount=0.5)
+    b = AsymmetricTemporalAttention(hidden_dim=16, num_heads=2,
+                                    future_discount=0.5,
+                                    orient_past_high=True)
+    ka = np.asarray(a._init_asymmetric_kernel())
+    kb = np.asarray(b._init_asymmetric_kernel())
+    np.testing.assert_allclose(ka, kb[::-1])
+    w = a.asymmetric_window_size
+    # flag=True: rel>0 (past keys) side holds the undivided weights
+    assert kb[w + 1, 0] > kb[w - 1, 0]
+    assert ka[w + 1, 0] < ka[w - 1, 0]
