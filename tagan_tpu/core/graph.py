@@ -146,35 +146,58 @@ def locality_order(unpacked) -> list:
     permutation-equivariant), but it decides *block* structure: RCM
     clusters each node's neighbors into nearby slots, so the flash
     kernel's block-sparsity plans (ops.pallas.flash_geometric) walk far
-    fewer occupied [BM, BN] blocks than under sorted-ID slots."""
+    fewer occupied [BM, BN] blocks than under sorted-ID slots.
+
+    The BFS runs in the native packer when available (~50x the Python
+    fallback at 10K nodes); both produce the identical deterministic
+    order (tests/test_native.py)."""
     import collections
-    adjd = collections.defaultdict(set)
-    allids = set()
+    all_ids = sorted({i for (_, _, _, ids, _) in unpacked for i in ids})
+    id_arr = np.asarray(all_ids, np.int64)
+    srcs, dsts = [], []
     for (xt, ei, ea, ids, tv) in unpacked:
-        ids = list(ids)
-        allids.update(ids)
-        if ei is not None and ei.size:
-            for a, b in zip(np.asarray(ei[0]), np.asarray(ei[1])):
-                u, w = ids[int(a)], ids[int(b)]
-                if u != w:
-                    adjd[u].add(w)
-                    adjd[w].add(u)
-    deg = {i: len(adjd[i]) for i in allids}
-    visited = set()
-    order = []
-    for start in sorted(allids, key=lambda i: (deg[i], i)):
-        if start in visited:
+        if ei is None or not np.asarray(ei).size:
             continue
-        visited.add(start)
+        ids_np = np.asarray(list(ids), np.int64)
+        srcs.append(ids_np[np.asarray(ei[0], np.int64)])
+        dsts.append(ids_np[np.asarray(ei[1], np.int64)])
+    if srcs:
+        src = np.searchsorted(id_arr, np.concatenate(srcs))
+        dst = np.searchsorted(id_arr, np.concatenate(dsts))
+    else:
+        src = dst = np.zeros(0, np.int64)
+
+    from .. import native as _native
+    try:
+        order_idx = _native.rcm_order_native(src, dst, len(id_arr))
+    except Exception:
+        order_idx = None
+    if order_idx is not None:
+        return [int(id_arr[i]) for i in order_idx]
+
+    # Python fallback (index space; the semantics oracle)
+    n = len(id_arr)
+    adjd = [set() for _ in range(n)]
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a != b:
+            adjd[a].add(b)
+            adjd[b].add(a)
+    deg = [len(s) for s in adjd]
+    visited = [False] * n
+    order = []
+    for start in sorted(range(n), key=lambda i: (deg[i], i)):
+        if visited[start]:
+            continue
+        visited[start] = True
         queue = collections.deque([start])
         while queue:
             u = queue.popleft()
             order.append(u)
             for w in sorted(adjd[u], key=lambda i: (deg[i], i)):
-                if w not in visited:
-                    visited.add(w)
+                if not visited[w]:
+                    visited[w] = True
                     queue.append(w)
-    return order[::-1]
+    return [int(id_arr[i]) for i in order[::-1]]
 
 
 def build_sequence(

@@ -72,6 +72,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tagan_coo_to_csr.restype = ctypes.c_int32
     lib.tagan_coo_to_csr.argtypes = [i32p, i32p, u8p, ctypes.c_int64,
                                      ctypes.c_int64, i32p, i32p, i32p, u8p]
+
+    lib.tagan_rcm_order.restype = ctypes.c_int32
+    lib.tagan_rcm_order.argtypes = [i64p, i64p, ctypes.c_int64,
+                                    ctypes.c_int64, i64p]
     _lib = lib
     return _lib
 
@@ -185,3 +189,19 @@ def coo_to_csr_native(edge_q: np.ndarray, edge_k: np.ndarray,
     if rc != 0:
         raise ValueError(f"native CSR build failed with code {rc}")
     return row_ptr, col, perm, mask.astype(bool)
+
+
+def rcm_order_native(src: np.ndarray, dst: np.ndarray, n: int):
+    """Reverse Cuthill–McKee order of an undirected [0, n) index graph
+    in C++ (core.graph.locality_order is the Python oracle). Returns a
+    permutation array of length n, or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    out = np.zeros(n, np.int64)
+    rc = lib.tagan_rcm_order(src, dst, len(src), n, out)
+    if rc != 0:
+        raise ValueError(f"native RCM failed with code {rc}")
+    return out

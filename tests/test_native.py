@@ -89,3 +89,35 @@ def test_native_at_scale_no_dense_adj():
     assert not nat.has_dense_adj
     with pytest.raises(ValueError):
         nat.attention_mask()
+
+
+def test_rcm_native_matches_python():
+    """Native RCM == Python oracle, exactly, on multi-component graphs
+    with duplicate edges and self loops."""
+    import numpy as np
+    from tagan_tpu import native
+    from tagan_tpu.core import graph as G
+    if not native.is_available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = int(rng.integers(5, 60))
+        e = int(rng.integers(0, 4 * n))
+        ids = rng.permutation(1000)[:n]          # sparse, shuffled IDs
+        ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+        # duplicate some edges and add self loops
+        ei = np.concatenate([ei, ei[:, : e // 2],
+                             np.stack([np.arange(min(3, n))] * 2)], axis=1)
+        x = rng.standard_normal((n, 4)).astype(np.float32)
+        unpacked = [(x, ei, None, list(ids), 0.0)]
+        got = G.locality_order(unpacked)
+        # force the Python fallback
+        import tagan_tpu.native as nat
+        real = nat.rcm_order_native
+        nat.rcm_order_native = lambda *a: None
+        try:
+            want = G.locality_order(unpacked)
+        finally:
+            nat.rcm_order_native = real
+        assert got == want, f"trial {trial}: {got} != {want}"
