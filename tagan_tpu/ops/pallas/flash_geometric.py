@@ -123,9 +123,13 @@ def _flash_kernel(jlist_ref, jcount_ref, scale_ref,
         m_prev = m_ref[:]                                   # [BM, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        # rows with nothing valid so far keep m=NEG_INF; exp underflows->0
+        # masked entries need no second select: once m_new is finite,
+        # exp(NEG_INF - m_new) underflows to exactly 0. Rows where m_new
+        # is still NEG_INF (nothing valid seen yet) produce p == 1
+        # garbage, but it is washed out by alpha == 0 the moment a valid
+        # entry appears, and rows that stay dead are zeroed at finalize
+        # via the m == NEG_INF check.
         p = jnp.exp(s - m_new)
-        p = jnp.where(mask != 0, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         if bf16:
@@ -139,10 +143,14 @@ def _flash_kernel(jlist_ref, jcount_ref, scale_ref,
 
     @pl.when(j == n_j - 1)
     def _finalize():
-        l = l_ref[:]
-        safe = jnp.where(l > 0.0, l, 1.0)
-        o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
-        lse = jnp.where(l > 0.0, m_ref[:] + jnp.log(safe), LSE_DEAD)
+        # dead = row never saw a valid edge (running max untouched);
+        # valid rows always have l >= 1 (the max entry contributes
+        # exp(0) = 1 and survives — m is non-decreasing)
+        dead = m_ref[:] <= NEG_INF
+        safe = jnp.where(dead, 1.0, l_ref[:])
+        o_ref[0] = jnp.where(dead, 0.0,
+                             acc_ref[:] / safe).astype(o_ref.dtype)
+        lse = jnp.where(dead, LSE_DEAD, m_ref[:] + jnp.log(safe))
         lse_ref[0] = lse          # [BM, 1] block of the (H, Np, 1) array
 
 
