@@ -28,7 +28,11 @@ def masked_softmax(scores: jax.Array, mask: Optional[jax.Array],
     m = jnp.max(masked, axis=axis, keepdims=True)
     # guard rows where everything is masked
     m = jnp.where(m <= neg * 0.5, 0.0, m)
-    e = jnp.exp(masked - m) * mask.astype(scores.dtype)
+    # no post-exp re-mask needed: masked entries hold NEG_INF, and with
+    # m >= 0 on dead rows / m >= the row max elsewhere, exp(NEG_INF - m)
+    # underflows to exactly 0 (saves a convert+multiply pass over the
+    # full score tensor — the dense path is HBM-bound)
+    e = jnp.exp(masked - m)
     denom = jnp.sum(e, axis=axis, keepdims=True)
     return e / jnp.where(denom == 0, 1.0, denom)
 
