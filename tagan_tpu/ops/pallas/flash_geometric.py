@@ -215,17 +215,28 @@ def make_block_plans_from_edges(
     nodes, graph_attention.py:102)."""
     Np = n_pad or _round_up(n, max(block_m, block_n))
     n_i, n_j = Np // block_m, Np // block_n
-    pid = (edge_src // block_m) * n_j + (edge_dst // block_n)
-    contrib = jax.ops.segment_sum(edge_mask.astype(jnp.int32), pid,
-                                  num_segments=n_i * n_j)
+    nseg = n_i * n_j
+    ids = (edge_src // block_m) * n_j + (edge_dst // block_n)
+    w = edge_mask.astype(jnp.float32)
     if self_loops:
         d = jnp.arange(n)
-        dm = jnp.ones((n,), jnp.int32) if node_mask is None \
-            else node_mask.astype(jnp.int32)
-        did = (d // block_m) * n_j + (d // block_n)
-        contrib = contrib + jax.ops.segment_sum(dm, did,
-                                                num_segments=n_i * n_j)
-    occ = contrib.reshape(n_i, n_j) > 0
+        dm = jnp.ones((n,), jnp.float32) if node_mask is None \
+            else node_mask.astype(jnp.float32)
+        ids = jnp.concatenate([ids, (d // block_m) * n_j + (d // block_n)])
+        w = jnp.concatenate([w, dm])
+    if ids.shape[0] * nseg <= 64_000_000:
+        # one-hot matmul instead of segment_sum: XLA lowers segment_sum
+        # to a serialized scatter-add (~20 ns/update on TPU — ~1.4 ms at
+        # 160K edges) while the MXU chews the same reduction in ~no time.
+        # Exact: products are 0/1 (exact in bf16), accumulation is fp32,
+        # and integer counts up to 2^24 are exact — occupancy only needs
+        # count > 0.
+        oh = jax.nn.one_hot(ids, nseg, dtype=jnp.float32)
+        contrib = (w[None, :] @ oh)[0]
+        occ = contrib.reshape(n_i, n_j) > 0.5
+    else:
+        contrib = jax.ops.segment_sum(w, ids, num_segments=nseg)
+        occ = contrib.reshape(n_i, n_j) > 0.0
     return _plan_from_occ(occ), _plan_from_occ(occ.T)
 
 
