@@ -356,7 +356,11 @@ class TAGAN:
             from .temporal_attention import causal_mask
             attn_mask = causal_mask(T) if T == c.num_heads else None
         else:
-            time_stamps = jnp.broadcast_to(seq.times[None, :], (N, T))
+            # [1, T], not [N, T]: every node slot shares the sequence
+            # timestamps, so the pairwise-Δt time-encoding path computes
+            # once and broadcasts across slots (at 10K nodes this is the
+            # difference between a [1,T,T] and a [10240,T,T] TimeEncoding)
+            time_stamps = seq.times[None, :]
             # padded snapshots must not act as attention keys: with the
             # loader padding all sequences to the dataset max_time, a
             # padded step (zero features, time 0) would otherwise pass
