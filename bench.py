@@ -93,12 +93,14 @@ def bench_reference_torch(N=1024, deg=16, T=8, H=128, heads=8, iters=3):
     with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
         for t in range(T):       # warmup
             ref(x[t:t + 1], mask)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            for t in range(T):   # reference processes snapshots one by one
-                ref(x[t:t + 1], mask)
-        dt = (time.perf_counter() - t0) / iters
-    return n_edges / dt
+        best = float("inf")      # best-of: robust to host CPU contention
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                for t in range(T):   # reference: snapshots one by one
+                    ref(x[t:t + 1], mask)
+            best = min(best, (time.perf_counter() - t0) / iters)
+    return n_edges / best
 
 
 def _torch_baseline_subprocess() -> float:
