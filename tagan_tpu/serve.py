@@ -1,0 +1,387 @@
+"""Production inference / serving for TAGAN-TPU.
+
+The reference has no serving story at all — inference is
+``model.infer()`` called eagerly per sequence inside scripts
+(`/root/reference/src/tagan/model.py:475-536`,
+`run_tagan_social_media.py:352-569`). This module is the TPU-native
+deployment path the task mandates:
+
+* :class:`Predictor` — shape-bucketed, jit-cached **batched** inference
+  over ragged snapshot sequences (reference wire format in, numpy
+  probabilities out). One compile per shape bucket; ragged inputs are
+  padded into the bucket and batched, so steady-state serving issues a
+  single device program per batch instead of the reference's
+  one-Python-call-per-sequence loop.
+* :class:`StreamingSession` — online inference over an unbounded
+  snapshot stream: chunks of T snapshots at a time, the functional
+  memory bank carried between calls (what the reference's broken
+  ``save/load_temporal_state`` was meant to enable, model.py:619-640).
+* :func:`export_artifact` / :func:`load_artifact` — ahead-of-time
+  compiled model artifacts via ``jax.export`` (StableHLO): the saved
+  directory (``predict.jaxexport`` + ``params.npz`` + ``meta.json``)
+  reloads and serves **without the model's Python code**, pinned to the
+  exact program that was validated.
+
+All entry points run ``deterministic=True`` (no dropout) and compute
+probabilities; hard-label thresholding is a single explicit parameter
+(the reference uses 0.65/0.25/0.5/0.7 at different call sites — bug B8,
+SURVEY.md §2.10 — not replicated).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.config import TAGANConfig
+from .core.graph import (SnapshotSequence, batch_sequences, build_sequence,
+                         pad_dims_for)
+from .core.memory import MemoryState
+from .nn.model import TAGAN, batched_forward
+
+ARTIFACT_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# Predictor: jit-cached batched inference
+# ---------------------------------------------------------------------------
+
+class Predictor:
+    """Batched inference over ragged snapshot sequences.
+
+    Parameters
+    ----------
+    model, params:
+        A :class:`~tagan_tpu.nn.model.TAGAN` and its parameter pytree.
+    dims:
+        Static bucket ``(max_time, max_nodes, max_edges, edge_feature_dim)``
+        every input is padded into. ``None`` computes it per call
+        (convenient, but a new shape means a new compile — pin it for
+        serving).
+    batch_size:
+        Sequences per device program. Short final batches are padded
+        (pad rows are dropped from the output).
+    dense_adj:
+        Materialize dense adjacency when packing. Leave True below ~4K
+        nodes; set False for large graphs with the flash/csr backends.
+    """
+
+    def __init__(self, model: TAGAN, params, *,
+                 dims: Optional[Tuple[int, int, int, int]] = None,
+                 batch_size: int = 8, dense_adj: Optional[bool] = None,
+                 reorder: Optional[str] = None):
+        self.model = model
+        self.params = params
+        self.dims = dims
+        self.batch_size = int(batch_size)
+        if dense_adj is None:
+            dense_adj = model.config.spatial_backend == "dense"
+        self.dense_adj = dense_adj
+        self.reorder = reorder
+        self._compiled: Dict[Any, Any] = {}
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "Predictor":
+        """Build from a trainer checkpoint (``TAGANTrainer.save_checkpoint``)."""
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        cfg = TAGANConfig.from_dict(payload["config"])
+        params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+        return cls(TAGAN(cfg), params, **kw)
+
+    # -- compile cache -----------------------------------------------------
+    def _fn(self, batch: SnapshotSequence):
+        key = tuple(batch.x.shape) + (batch.edge_src.shape[-1],
+                                      batch.edge_attr.shape[-1])
+        fn = self._compiled.get(key)
+        if fn is None:
+            model = self.model
+
+            @jax.jit
+            def fn(params, b):
+                out = batched_forward(model, params, b)
+                return out.logits, out.predictions
+
+            self._compiled[key] = fn
+        return fn
+
+    def _pack(self, sequences) -> List[SnapshotSequence]:
+        if isinstance(sequences, SnapshotSequence):
+            # pre-built: single sequence or stacked batch
+            return [sequences] if sequences.x.ndim == 3 else \
+                [jax.tree_util.tree_map(lambda a: a[i], sequences)
+                 for i in range(sequences.x.shape[0])]
+        dims = self.dims or pad_dims_for(sequences)
+        T, N, E, Fe = dims
+        return [build_sequence(s, max_nodes=N, max_edges=max(E, 1),
+                               max_time=T, edge_feature_dim=Fe,
+                               dense_adj=self.dense_adj,
+                               reorder=self.reorder)
+                for s in sequences]
+
+    # -- inference ---------------------------------------------------------
+    def predict_proba(self, sequences) -> np.ndarray:
+        """Probabilities per sequence: ``[num, 1]`` sigmoid for binary,
+        ``[num, C]`` softmax for multi-class."""
+        seqs = self._pack(sequences)
+        n = len(seqs)
+        bs = self.batch_size
+        probs = []
+        for i in range(0, n, bs):
+            chunk = seqs[i:i + bs]
+            valid = len(chunk)
+            while len(chunk) < bs:       # pad the final batch
+                chunk.append(chunk[0])
+            batch = batch_sequences(chunk)
+            _, p = self._fn(batch)(self.params, batch)
+            probs.append(np.asarray(p)[:valid])
+        out = np.concatenate(probs, axis=0)
+        return out.reshape(n, -1)
+
+    def predict(self, sequences, threshold: float = 0.5) -> np.ndarray:
+        """Hard labels: binary via ``proba > threshold``, multi-class via
+        argmax."""
+        p = self.predict_proba(sequences)
+        if p.shape[-1] == 1:
+            return (p[:, 0] > threshold).astype(np.int32)
+        return np.argmax(p, axis=-1).astype(np.int32)
+
+    __call__ = predict_proba
+
+    def warmup(self, num_sequences: int = 1) -> None:
+        """Force compilation of the bucket program before serving traffic.
+        Requires ``dims`` to be pinned."""
+        if self.dims is None:
+            raise ValueError("warmup needs pinned dims")
+        T, N, E, Fe = self.dims
+        x = np.zeros((2, self.model.config.node_feature_dim), np.float32)
+        ei = np.zeros((2, 1), np.int64)
+        ea = np.zeros((1, Fe), np.float32) if Fe else None
+        snap = {"x": x, "edge_index": ei, "edge_attr": ea,
+                "node_ids": [0, 1], "timestep": 0.0}
+        self.predict_proba([[snap]] * max(num_sequences, 1))
+
+
+# ---------------------------------------------------------------------------
+# Streaming inference with memory carry
+# ---------------------------------------------------------------------------
+
+class StreamingSession:
+    """Online inference over an unbounded snapshot stream.
+
+    Feed chunks of snapshots; the functional memory bank (node states,
+    last-seen, inactivity — `core.memory`) carries across chunks, so a
+    node reappearing in a later chunk is blended with its decayed state
+    exactly as within one sequence. This is the working version of the
+    reference's broken ``save/load_temporal_state`` round trip
+    (model.py:619-640 calls methods that do not exist — bug B5).
+    """
+
+    def __init__(self, model: TAGAN, params, *,
+                 dims: Tuple[int, int, int, int],
+                 dense_adj: Optional[bool] = None):
+        if model.config.compat_mode == "executed":
+            raise ValueError("streaming needs the intended pipeline "
+                             "(executed mode never updates memory)")
+        self.model = model
+        self.params = params
+        self.dims = dims
+        if dense_adj is None:
+            dense_adj = model.config.spatial_backend == "dense"
+        self.dense_adj = dense_adj
+        self.memory = model.init_memory(dims[1])
+        model_ = model
+
+        @jax.jit
+        def _step(params, seq, memory):
+            out = model_(params, seq, None, memory, deterministic=True)
+            return out.predictions, out.memory
+
+        self._step = _step
+
+    def update(self, snapshots) -> np.ndarray:
+        """Ingest one chunk (<= max_time snapshots); returns the current
+        prediction probabilities given everything seen so far."""
+        T, N, E, Fe = self.dims
+        seq = build_sequence(snapshots, max_nodes=N, max_edges=max(E, 1),
+                             max_time=T, edge_feature_dim=Fe,
+                             dense_adj=self.dense_adj)
+        preds, self.memory = self._step(self.params, seq, self.memory)
+        return np.asarray(preds)
+
+    def reset(self) -> None:
+        self.memory = self.model.init_memory(self.dims[1])
+
+    def save_state(self, path: str) -> None:
+        from .nn.encdec import save_temporal_state
+        save_temporal_state(self.memory, path)
+
+    def load_state(self, path: str) -> None:
+        from .nn.encdec import load_temporal_state
+        self.memory = load_temporal_state(path)
+
+
+# ---------------------------------------------------------------------------
+# AOT export: serve without the model's Python code
+# ---------------------------------------------------------------------------
+
+def _flatten_params(params) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_params(flat: Dict[str, np.ndarray]):
+    out: Dict[str, Any] = {}
+    for key, val in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+    return out
+
+
+def export_artifact(model: TAGAN, params, dims: Tuple[int, int, int, int],
+                    path: str, *, batch_size: int = 8,
+                    platforms: Optional[Sequence[str]] = None) -> None:
+    """Serialize an ahead-of-time compiled predict function.
+
+    Writes ``path/`` containing:
+
+    * ``predict.jaxexport`` — ``jax.export`` StableHLO program for
+      ``(params, batch) -> (logits, probabilities)`` at the pinned
+      ``dims``/``batch_size`` shapes,
+    * ``params.npz`` — flattened parameter arrays,
+    * ``meta.json`` — artifact version, model config, dims, batch size.
+
+    ``platforms`` defaults to ``("cpu", "tpu")`` so one artifact serves
+    both; pass a single platform if the model uses ops that only lower
+    there (e.g. the Pallas flash backend is TPU-only).
+    """
+    from jax import export as jexport
+
+    T, N, E, Fe = dims
+    dense_adj = model.config.spatial_backend == "dense"
+
+    def spec(shape, dtype):
+        return jax.ShapeDtypeStruct((batch_size,) + tuple(shape), dtype)
+
+    adj_n = N if dense_adj else 1
+    # the batch crosses the export boundary as a flat tuple of arrays in
+    # SnapshotSequence field order — jax.export cannot serialize custom
+    # pytree nodes, and a stable positional ABI is the better artifact
+    # contract anyway
+    batch_specs = (
+        spec((T, N, model.config.node_feature_dim), jnp.float32),  # x
+        spec((T, N), jnp.bool_),                    # node_mask
+        spec((T, adj_n, adj_n), jnp.bool_),         # adj
+        spec((T, E), jnp.int32),                    # edge_src
+        spec((T, E), jnp.int32),                    # edge_dst
+        spec((T, E), jnp.bool_),                    # edge_mask
+        spec((T, E, Fe), jnp.float32),              # edge_attr
+        spec((T,), jnp.float32),                    # times
+        spec((T,), jnp.bool_),                      # time_mask
+        spec((N,), jnp.int32),                      # node_ids
+    )
+    params_spec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+
+    def predict(p, *leaves):
+        out = batched_forward(model, p, SnapshotSequence(*leaves))
+        return out.logits, out.predictions
+
+    if platforms is None:
+        platforms = ("cpu", "tpu")
+    exported = jexport.export(jax.jit(predict), platforms=tuple(platforms))(
+        params_spec, *batch_specs)
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "predict.jaxexport"), "wb") as f:
+        f.write(exported.serialize())
+    np.savez(os.path.join(path, "params.npz"), **_flatten_params(params))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({
+            "artifact_version": ARTIFACT_VERSION,
+            "config": model.config.to_dict(),
+            "dims": list(dims),
+            "batch_size": batch_size,
+            "platforms": list(platforms),
+            "dense_adj": dense_adj,
+            "output_dim": model.config.output_dim,
+        }, f, indent=2)
+
+
+class ExportedPredictor:
+    """A reloaded AOT artifact. Same predict API as :class:`Predictor`
+    but executes the serialized StableHLO program — no model code, no
+    retracing, bit-stable across processes."""
+
+    def __init__(self, exported, params, meta: Dict[str, Any]):
+        self._exported = exported
+        self._params = params
+        self.meta = meta
+        self.dims = tuple(meta["dims"])
+        self.batch_size = int(meta["batch_size"])
+        self.dense_adj = bool(meta["dense_adj"])
+
+    def _pack(self, sequences) -> List[SnapshotSequence]:
+        T, N, E, Fe = self.dims
+        return [build_sequence(s, max_nodes=N, max_edges=max(E, 1),
+                               max_time=T, edge_feature_dim=Fe,
+                               dense_adj=self.dense_adj)
+                for s in sequences]
+
+    def predict_proba(self, sequences) -> np.ndarray:
+        seqs = self._pack(sequences) \
+            if not isinstance(sequences, SnapshotSequence) else [sequences]
+        n = len(seqs)
+        bs = self.batch_size
+        probs = []
+        for i in range(0, n, bs):
+            chunk = seqs[i:i + bs]
+            valid = len(chunk)
+            while len(chunk) < bs:
+                chunk.append(chunk[0])
+            batch = batch_sequences(chunk)
+            leaves = (batch.x, batch.node_mask, batch.adj, batch.edge_src,
+                      batch.edge_dst, batch.edge_mask, batch.edge_attr,
+                      batch.times, batch.time_mask, batch.node_ids)
+            _, p = self._exported.call(self._params, *leaves)
+            probs.append(np.asarray(p)[:valid])
+        return np.concatenate(probs, axis=0).reshape(n, -1)
+
+    def predict(self, sequences, threshold: float = 0.5) -> np.ndarray:
+        p = self.predict_proba(sequences)
+        if p.shape[-1] == 1:
+            return (p[:, 0] > threshold).astype(np.int32)
+        return np.argmax(p, axis=-1).astype(np.int32)
+
+    __call__ = predict_proba
+
+
+def load_artifact(path: str) -> ExportedPredictor:
+    """Reload an :func:`export_artifact` directory."""
+    from jax import export as jexport
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("artifact_version") != ARTIFACT_VERSION:
+        raise ValueError(
+            f"artifact version {meta.get('artifact_version')} != "
+            f"{ARTIFACT_VERSION}")
+    with open(os.path.join(path, "predict.jaxexport"), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    flat = np.load(os.path.join(path, "params.npz"))
+    params = _unflatten_params({k: flat[k] for k in flat.files})
+    return ExportedPredictor(exported, params, meta)
