@@ -205,11 +205,26 @@ class TAGAN:
 
             if use_flash:
                 from ..ops.pallas.flash_geometric import (
+                    _occ_from_mask, _plan_from_occ,
                     make_block_plans_from_edges)
                 BM, BN = 512, 1024  # apply_flash defaults
 
-                def one_step(args):
-                    xt, eq, ek, em, nm = args
+                def _mask_and_plans(eq, ek, em, nm, adj_t):
+                    if seq.has_dense_adj:
+                        # host-packed adjacency available (dense_adj=True):
+                        # one elementwise pass + an N-element diag scatter
+                        # beats the per-edge scatter below ~5x at 10K
+                        # nodes (TPU scatters serialize per update —
+                        # 160K edge updates cost ~3 ms every step even
+                        # though the graph never changes)
+                        diag = jnp.arange(N)
+                        mask = adj_t.astype(jnp.int8)
+                        mask = mask.at[diag, diag].max(nm.astype(jnp.int8))
+                        # plans via the boolean block-occupancy reduction
+                        # (one [N, N] any-pass; occ_t == occ.T for free)
+                        occ = _occ_from_mask(mask, BM, BN)
+                        return mask, _plan_from_occ(occ), \
+                            _plan_from_occ(occ.T)
                     mask = jnp.zeros((N, N), jnp.int8)
                     mask = mask.at[eq, ek].max(em.astype(jnp.int8))
                     diag = jnp.arange(N)
@@ -221,6 +236,12 @@ class TAGAN:
                     # kernel's block DMA
                     plan, plan_t = make_block_plans_from_edges.__wrapped__(
                         eq, ek, em, nm, N, BM, BN)
+                    return mask, plan, plan_t
+
+                def one_step(args):
+                    xt, eq, ek, em, nm, adj_t = args
+                    mask, plan, plan_t = _mask_and_plans(eq, ek, em, nm,
+                                                         adj_t)
                     return _layers(xt, lambda lp, xx: ga.inner.apply_flash(
                         lp, xx, mask, deterministic=True,
                         bf16=c.bf16_matmul, block_m=BM, block_n=BN,
@@ -229,7 +250,7 @@ class TAGAN:
                 from ..ops.sparse import add_self_loops
 
                 def one_step(args):
-                    xt, eq, ek, em, nm = args
+                    xt, eq, ek, em, nm, _adj_t = args
                     eq2, ek2, em2 = add_self_loops(eq, ek, em, nm)
                     return _layers(xt, lambda lp, xx: ga.inner.apply_sparse(
                         lp, xx, eq2, ek2, em2, nm, deterministic=True))
@@ -240,7 +261,8 @@ class TAGAN:
             if c.remat or use_csr:
                 one_step = jax.checkpoint(one_step)
             x = jax.lax.map(one_step, (x, seq.edge_src, seq.edge_dst,
-                                       seq.edge_mask, seq.node_mask))
+                                       seq.edge_mask, seq.node_mask,
+                                       seq.adj))
             return (x, None) if return_weights else x
 
         adj = seq.attention_mask()                     # bool [T, N, N]
