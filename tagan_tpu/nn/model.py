@@ -212,14 +212,16 @@ class TAGAN:
                 def _mask_and_plans(eq, ek, em, nm, adj_t):
                     if seq.has_dense_adj:
                         # host-packed adjacency available (dense_adj=True):
-                        # one elementwise pass + an N-element diag scatter
-                        # beats the per-edge scatter below ~5x at 10K
-                        # nodes (TPU scatters serialize per update —
-                        # 160K edge updates cost ~3 ms every step even
-                        # though the graph never changes)
-                        diag = jnp.arange(N)
-                        mask = adj_t.astype(jnp.int8)
-                        mask = mask.at[diag, diag].max(nm.astype(jnp.int8))
+                        # one fused elementwise pass replaces the per-edge
+                        # scatter below, whose updates serialize on TPU
+                        # (~20 ns each — 13 ms/snapshot at 640K edges).
+                        # Measured 10K-node training step: 1.32x faster at
+                        # deg 64, ~same at deg 16; prefer dense_adj=True
+                        # whenever the [T, N, N] adjacency fits HBM.
+                        iota = jnp.arange(N)
+                        eye = iota[:, None] == iota[None, :]
+                        mask = (adj_t | (eye & nm[None, :])) \
+                            .astype(jnp.int8)
                         # plans via the boolean block-occupancy reduction
                         # (one [N, N] any-pass; occ_t == occ.T for free)
                         occ = _occ_from_mask(mask, BM, BN)
@@ -227,8 +229,13 @@ class TAGAN:
                             _plan_from_occ(occ.T)
                     mask = jnp.zeros((N, N), jnp.int8)
                     mask = mask.at[eq, ek].max(em.astype(jnp.int8))
-                    diag = jnp.arange(N)
-                    mask = mask.at[diag, diag].max(nm.astype(jnp.int8))
+                    # self loops via a fused eye-select, not a diag
+                    # scatter: the scatter's copy-on-write of the 100 MB
+                    # mask cost ~10 ms/step at 10K nodes
+                    iota = jnp.arange(N)
+                    eye = iota[:, None] == iota[None, :]
+                    mask = jnp.where(eye, nm[None, :].astype(jnp.int8),
+                                     mask)
                     # block-sparsity plans once per snapshot, shared by
                     # every layer's forward AND backward kernels (the
                     # adjacency is layer-invariant); O(E) from the edge
