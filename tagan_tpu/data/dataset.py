@@ -117,6 +117,10 @@ class TemporalGraphDataLoader:
     outside the GIL, so threads overlap host packing with device
     compute). Batch order and contents are identical to the synchronous
     path.
+
+    ``dense_adj=False`` skips packing the [T, N, N] adjacency per sample
+    (large graphs: the dense tensor would dominate HBM and transfer; the
+    flash/csr backends rebuild structure from the edge lists instead).
     """
 
     def __init__(self, dataset: TemporalGraphDataset, batch_size: int = 16,
@@ -129,7 +133,8 @@ class TemporalGraphDataLoader:
                  num_buckets: int = 1,
                  num_workers: int = 0,
                  prefetch: int = 2,
-                 reorder: Optional[str] = None):
+                 reorder: Optional[str] = None,
+                 dense_adj: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -148,6 +153,10 @@ class TemporalGraphDataLoader:
         self.num_workers = max(0, num_workers)
         self.prefetch = max(1, prefetch)
         self.reorder = reorder   # 'rcm' = locality slot order (flash perf)
+        # dense_adj=False skips the [T, N, N] adjacency per sample —
+        # required for large graphs where it would blow HBM; with it the
+        # flash backend's structure phase falls back to edge scatters
+        self.dense_adj = dense_adj
         self._bucket_of, self._bucket_dims = self._assign_buckets()
 
     def _seq_node_count(self, i: int) -> int:
@@ -188,7 +197,7 @@ class TemporalGraphDataLoader:
                 self.dataset.sequences[i], max_nodes=Nm,
                 max_edges=Em, max_time=Tm,
                 edge_feature_dim=self.edge_feature_dim,
-                reorder=self.reorder)
+                reorder=self.reorder, dense_adj=self.dense_adj)
         return self._cache[i]
 
     def __len__(self) -> int:

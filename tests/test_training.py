@@ -49,6 +49,22 @@ def test_loader_shapes(tiny_data):
     assert stats["max_time_steps"] == 4
 
 
+def test_loader_dense_adj_false(tiny_data):
+    """dense_adj=False must thread through the loader: no [T, N, N]
+    adjacency per sample (placeholder [T, 1, 1]), everything else equal
+    to the default loader's batches."""
+    a = TemporalGraphDataLoader(tiny_data, batch_size=8)
+    b = TemporalGraphDataLoader(tiny_data, batch_size=8, dense_adj=False)
+    (ba, la, ma), (bb, lb, mb) = next(iter(a)), next(iter(b))
+    n = ba.x.shape[2]   # batches are [B, T, N, ...]
+    assert ba.adj.shape[-2:] == (n, n)
+    assert bb.adj.shape[-2:] == (1, 1)
+    np.testing.assert_array_equal(np.asarray(ba.x), np.asarray(bb.x))
+    np.testing.assert_array_equal(np.asarray(ba.edge_src),
+                                  np.asarray(bb.edge_src))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_training_learns_and_no_bias_collapse(tiny_data):
     """test_bias_fix.py semantics: after a few epochs on balanced data
     the model must not predict a single class for everything and train
