@@ -68,8 +68,12 @@ class Predictor:
         Sequences per device program. Short final batches are padded
         (pad rows are dropped from the output).
     dense_adj:
-        Materialize dense adjacency when packing. Leave True below ~4K
-        nodes; set False for large graphs with the flash/csr backends.
+        Materialize dense adjacency when packing. Defaults False for the
+        flash/csr backends: unlike training (where a sequence transfers
+        once and is reused every step, making the packed-adjacency
+        structure path a win — see benchmarks/bench_10k_step.py), a
+        served request pays the ``[T, N, N]`` host->device transfer every
+        call, which dwarfs the ~0.1 ms structure-phase saving.
     """
 
     def __init__(self, model: TAGAN, params, *,
