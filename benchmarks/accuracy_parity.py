@@ -82,15 +82,16 @@ def run_reference(data):
         model = RefTAGAN(cfg)
 
     n_tr, n_va, _ = SPLIT
-    mk = lambda rows: RefLoader(RefDataset([s for s, _ in rows],
-                                           [l for _, l in rows]))
+    mk = lambda rows, sh=False: RefLoader(
+        RefDataset([s for s, _ in rows], [l for _, l in rows]), shuffle=sh)
     tmp = tempfile.mkdtemp(prefix="ref_tagan_")
     trainer = RefTrainer(model=model, config=cfg,
                          checkpoint_dir=_os.path.join(tmp, "ckpt"),
                          log_dir=_os.path.join(tmp, "logs"))
+    np.random.seed(0)   # shuffle order (both frameworks shuffle train)
     with contextlib.redirect_stdout(io.StringIO()), \
             contextlib.redirect_stderr(io.StringIO()):
-        trainer.train(train_loader=mk(data[:n_tr]),
+        trainer.train(train_loader=mk(data[:n_tr], sh=True),
                       val_loader=mk(data[n_tr:n_tr + n_va]),
                       num_epochs=EPOCHS, validate_every=1, save_best=False)
         res = trainer.evaluate(mk(data[n_tr + n_va:]))

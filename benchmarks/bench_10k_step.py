@@ -14,7 +14,7 @@ import optax
 
 import tagan_tpu as tt
 
-N, DEG, T, H, HEADS, F = 10_000, int(__import__("os").environ.get("DEG", 16)), 8, 64, 4, 16  # DEG env overrides degree
+N, DEG, T, H, HEADS, F = 10_000, int(_os.environ.get("DEG", 16)), 8, 64, 4, 16  # DEG env overrides degree
 ITERS = 20
 
 rng = np.random.default_rng(0)

@@ -1,5 +1,6 @@
-"""Isolated timing of the flash structure phase (mask + block plans):
-edge-scatter path vs packed-dense-adjacency path."""
+"""Isolated timing of the flash structure phase (attention mask + block
+plans), as the model builds it (nn/model.py _mask_and_plans): edge-list
+path vs packed-dense-adjacency path."""
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
@@ -10,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from tagan_tpu.ops.pallas.flash_geometric import (
-    _occ_from_mask, _plan_from_occ, make_block_plans_from_edges)
+    make_block_plans_from_edges, make_block_plans_from_mask)
 
 ITERS = 50
 BM, BN = 512, 1024
@@ -26,23 +27,23 @@ def run(N, deg):
     adj_np = np.zeros((N, N), bool)
     adj_np[np.asarray(eq), np.asarray(ek)] = True
     adj = jnp.asarray(adj_np)
+    iota = jnp.arange(N)
+    eye = iota[:, None] == iota[None, :]
 
     def from_edges(eq, ek, em, nm, zero):
         eq = eq + zero          # loop-carried dep: block XLA hoisting
         mask = jnp.zeros((N, N), jnp.int8)
         mask = mask.at[eq, ek].max(em.astype(jnp.int8))
-        diag = jnp.arange(N)
-        mask = mask.at[diag, diag].max(nm.astype(jnp.int8))
+        mask = jnp.where(eye, nm[None, :].astype(jnp.int8), mask)
         plan, plan_t = make_block_plans_from_edges.__wrapped__(
             eq, ek, em, nm, N, BM, BN)
         return mask, plan, plan_t
 
     def from_adj(adj, nm, zero):
-        diag = jnp.arange(N)
-        mask = adj.astype(jnp.int8) + zero.astype(jnp.int8)
-        mask = mask.at[diag, diag].max(nm.astype(jnp.int8))
-        occ = _occ_from_mask(mask, BM, BN)
-        return mask, _plan_from_occ(occ), _plan_from_occ(occ.T)
+        mask = ((adj | (eye & nm[None, :])).astype(jnp.int8)
+                + zero.astype(jnp.int8))
+        plan, plan_t = make_block_plans_from_mask.__wrapped__(mask, BM, BN)
+        return mask, plan, plan_t
 
     def timed(fn, *args):
         @jax.jit

@@ -183,11 +183,14 @@ class TAGAN:
         first_weights = None
 
         if use_flash or use_csr:
-            # Sparse backends never touch the dense [T, N, N] adjacency:
-            # masks/edge-lists are built per snapshot inside a sequential
-            # lax.map, so peak HBM is O(N^2) per step (flash) or O(E)
-            # (csr), not O(T * N^2). These paths run without attention
-            # dropout (the fused kernel never materializes weights).
+            # Sparse backends build masks/edge structure per snapshot
+            # inside a sequential lax.map, so the *working set* is
+            # O(N^2) per step (flash) or O(E) (csr). With dense_adj=True
+            # the packed [T, N, N] adjacency is additionally resident in
+            # HBM (it feeds the faster fused structure build below);
+            # build with dense_adj=False when that tensor doesn't fit.
+            # These paths run without attention dropout (the fused
+            # kernel never materializes weights).
             N = seq.x.shape[1]
 
             def _layers(xx, attend):
@@ -205,35 +208,32 @@ class TAGAN:
 
             if use_flash:
                 from ..ops.pallas.flash_geometric import (
-                    _occ_from_mask, _plan_from_occ,
-                    make_block_plans_from_edges)
+                    make_block_plans_from_edges, make_block_plans_from_mask)
                 BM, BN = 512, 1024  # apply_flash defaults
 
                 def _mask_and_plans(eq, ek, em, nm, adj_t):
-                    if seq.has_dense_adj:
-                        # host-packed adjacency available (dense_adj=True):
-                        # one fused elementwise pass replaces the per-edge
-                        # scatter below, whose updates serialize on TPU
-                        # (~20 ns each — 13 ms/snapshot at 640K edges).
-                        # Measured 10K-node training step: 1.32x faster at
-                        # deg 64, ~same at deg 16; prefer dense_adj=True
-                        # whenever the [T, N, N] adjacency fits HBM.
-                        iota = jnp.arange(N)
-                        eye = iota[:, None] == iota[None, :]
-                        mask = (adj_t | (eye & nm[None, :])) \
-                            .astype(jnp.int8)
-                        # plans via the boolean block-occupancy reduction
-                        # (one [N, N] any-pass; occ_t == occ.T for free)
-                        occ = _occ_from_mask(mask, BM, BN)
-                        return mask, _plan_from_occ(occ), \
-                            _plan_from_occ(occ.T)
-                    mask = jnp.zeros((N, N), jnp.int8)
-                    mask = mask.at[eq, ek].max(em.astype(jnp.int8))
-                    # self loops via a fused eye-select, not a diag
-                    # scatter: the scatter's copy-on-write of the 100 MB
-                    # mask cost ~10 ms/step at 10K nodes
+                    # self loops (for live nodes) go in via a fused
+                    # eye-select in both branches — a diag scatter's
+                    # copy-on-write of the 100 MB mask costs ~10 ms/step
+                    # at 10K nodes
                     iota = jnp.arange(N)
                     eye = iota[:, None] == iota[None, :]
+                    if seq.has_dense_adj:
+                        # host-packed adjacency available (dense_adj=True):
+                        # one fused elementwise pass + occupancy reduction
+                        # replaces the per-edge scatter below, whose
+                        # updates serialize on TPU (~20 ns each —
+                        # 13 ms/snapshot at 640K edges). Measured 10K-node
+                        # training step: 1.32x faster at deg 64, ~same at
+                        # deg 16; prefer dense_adj=True whenever the
+                        # [T, N, N] adjacency fits HBM.
+                        mask = (adj_t | (eye & nm[None, :])) \
+                            .astype(jnp.int8)
+                        plan, plan_t = make_block_plans_from_mask \
+                            .__wrapped__(mask, BM, BN)
+                        return mask, plan, plan_t
+                    mask = jnp.zeros((N, N), jnp.int8)
+                    mask = mask.at[eq, ek].max(em.astype(jnp.int8))
                     mask = jnp.where(eye, nm[None, :].astype(jnp.int8),
                                      mask)
                     # block-sparsity plans once per snapshot, shared by

@@ -198,6 +198,20 @@ def make_block_plan(mask: jax.Array, block_m: int = 512,
     return _plan_from_occ(_occ_from_mask(mask, block_m, block_n, n_pad))
 
 
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "n_pad"))
+def make_block_plans_from_mask(mask: jax.Array, block_m: int = 512,
+                               block_n: int = 1024,
+                               n_pad: Optional[int] = None):
+    """Both walk plans — (plan, plan_t) for the forward/dq and dk/dv
+    kernels — from a dense mask via one boolean block-occupancy
+    reduction (the transposed occupancy is just ``occ.T``). The
+    mask-side analog of :func:`make_block_plans_from_edges`; matches it
+    exactly when the mask is the densified edge list (+ self loops on
+    live nodes)."""
+    occ = _occ_from_mask(mask, block_m, block_n, n_pad)
+    return _plan_from_occ(occ), _plan_from_occ(occ.T)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "block_m", "block_n",
                                              "n_pad", "self_loops"))
 def make_block_plans_from_edges(

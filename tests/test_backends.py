@@ -1,6 +1,7 @@
-"""Spatial backend equivalence: dense vs csr (XLA) in the full model.
-(The flash backend is TPU-only; it is equivalence-tested at the kernel
-level in tests/test_flash_kernel.py via interpret mode.)"""
+"""Spatial backend equivalence in the full model: dense vs csr (XLA),
+and the model's flash branch (interpret mode) against dense — covering
+both flash structure paths (edge-list and packed-adjacency builds).
+Kernel-level flash equivalence lives in tests/test_flash_kernel.py."""
 
 import jax
 import jax.numpy as jnp

@@ -181,6 +181,27 @@ def test_plans_from_edges_match_mask_plans():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_mask_plans_match_edge_plans_model_construction():
+    """make_block_plans_from_mask on the model's packed-adjacency mask
+    (eye-select self loops, nn/model.py _mask_and_plans) must equal the
+    edge-list plans at multi-block granularity, incl. inactive nodes."""
+    rng = np.random.default_rng(5)
+    N, E = 200, 500
+    eq = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+    ek = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+    em = jnp.asarray(rng.random(E) < 0.7)
+    nm = jnp.asarray(rng.random(N) < 0.85)
+    adj = np.zeros((N, N), bool)
+    adj[np.asarray(eq)[np.asarray(em)], np.asarray(ek)[np.asarray(em)]] = True
+    iota = jnp.arange(N)
+    eye = iota[:, None] == iota[None, :]
+    mask = (jnp.asarray(adj) | (eye & nm[None, :])).astype(jnp.int8)
+    got = FG.make_block_plans_from_mask(mask, 32, 64)
+    want = FG.make_block_plans_from_edges(eq, ek, em, nm, N, 32, 64)
+    for a, b in zip(got[0] + got[1], want[0] + want[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_flash_mahalanobis_matches_dense():
     """apply_flash routes mahalanobis through the euclidean kernel in
     factor space — matches the dense path, including learnable factors,
