@@ -177,6 +177,30 @@ class Predictor:
 # Streaming inference with memory carry
 # ---------------------------------------------------------------------------
 
+def _remap_slots(seq: SnapshotSequence, perm: np.ndarray
+                 ) -> SnapshotSequence:
+    """Permute a sequence's node-slot axis: chunk slot ``s`` moves to
+    slot ``perm[s]``. Every slot-space op in the model is
+    permutation-equivariant, so outputs are unchanged — but the *memory
+    rows* now line up with a caller-chosen (persistent) slot layout."""
+    import dataclasses
+
+    perm = np.asarray(perm, np.int32)
+    inv = np.argsort(perm)                      # new slot -> old slot
+    x = np.asarray(seq.x)[:, inv]
+    node_mask = np.asarray(seq.node_mask)[:, inv]
+    node_ids = np.asarray(seq.node_ids)[inv]
+    edge_src = perm[np.asarray(seq.edge_src)]
+    edge_dst = perm[np.asarray(seq.edge_dst)]
+    adj = np.asarray(seq.adj)
+    if seq.has_dense_adj:
+        adj = adj[:, inv][:, :, inv]
+    return dataclasses.replace(
+        seq, x=jnp.asarray(x), node_mask=jnp.asarray(node_mask),
+        adj=jnp.asarray(adj), edge_src=jnp.asarray(edge_src),
+        edge_dst=jnp.asarray(edge_dst), node_ids=jnp.asarray(node_ids))
+
+
 class StreamingSession:
     """Online inference over an unbounded snapshot stream.
 
@@ -186,6 +210,14 @@ class StreamingSession:
     exactly as within one sequence. This is the working version of the
     reference's broken ``save/load_temporal_state`` round trip
     (model.py:619-640 calls methods that do not exist — bug B5).
+
+    Memory is keyed by **global node ID** (like the reference
+    ``NodeMemoryBank``): the session maintains a persistent
+    global-ID -> slot assignment and permutes each packed chunk into it,
+    so a node reappearing in a later chunk with a different surrounding
+    node set still meets *its own* decayed state. Slots of nodes whose
+    memory has been pruned (``max_inactivity`` exceeded -> ``valid``
+    cleared) are recycled when the ID space outgrows ``max_nodes``.
     """
 
     def __init__(self, model: TAGAN, params, *,
@@ -201,6 +233,7 @@ class StreamingSession:
             dense_adj = model.config.spatial_backend == "dense"
         self.dense_adj = dense_adj
         self.memory = model.init_memory(dims[1])
+        self._slot_of: Dict[int, int] = {}      # global node id -> slot
         model_ = model
 
         @jax.jit
@@ -210,6 +243,46 @@ class StreamingSession:
 
         self._step = _step
 
+    def _assign_slots(self, seq: SnapshotSequence) -> np.ndarray:
+        """Extend the persistent id->slot map with this chunk's new IDs
+        and return the chunk-slot -> persistent-slot permutation."""
+        N = self.dims[1]
+        ids = np.asarray(seq.node_ids)
+        new_ids = [int(g) for g in ids if g >= 0
+                   and int(g) not in self._slot_of]
+        if new_ids:
+            used = set(self._slot_of.values())
+            free = [s for s in range(N) if s not in used]
+            if len(free) < len(new_ids):
+                # recycle slots whose memory was pruned (valid == False)
+                valid = np.asarray(self.memory.valid)
+                freeable = sorted(
+                    (g for g, s in self._slot_of.items() if not valid[s]),
+                    key=lambda g: self._slot_of[g])
+                for g in freeable[: len(new_ids) - len(free)]:
+                    free.append(self._slot_of.pop(g))
+                free.sort()
+            if len(free) < len(new_ids):
+                raise ValueError(
+                    f"stream has more live global node IDs than "
+                    f"max_nodes={N} slots; raise dims[1] or let inactive "
+                    f"nodes age past max_inactivity before reusing IDs")
+            for g, s in zip(new_ids, free):
+                self._slot_of[g] = s
+        # occupied chunk slots go to their persistent slot; padded chunk
+        # slots fill the remaining positions (injective -> a permutation)
+        perm = np.full((len(ids),), -1, np.int32)
+        taken = set()
+        for s, g in enumerate(ids):
+            if g >= 0:
+                perm[s] = self._slot_of[int(g)]
+                taken.add(int(perm[s]))
+        spare = iter(s for s in range(len(ids)) if s not in taken)
+        for s in range(len(ids)):
+            if perm[s] < 0:
+                perm[s] = next(spare)
+        return perm
+
     def update(self, snapshots) -> np.ndarray:
         """Ingest one chunk (<= max_time snapshots); returns the current
         prediction probabilities given everything seen so far."""
@@ -217,19 +290,33 @@ class StreamingSession:
         seq = build_sequence(snapshots, max_nodes=N, max_edges=max(E, 1),
                              max_time=T, edge_feature_dim=Fe,
                              dense_adj=self.dense_adj)
+        seq = _remap_slots(seq, self._assign_slots(seq))
         preds, self.memory = self._step(self.params, seq, self.memory)
         return np.asarray(preds)
 
+    @property
+    def slot_of(self) -> Dict[int, int]:
+        """Read-only view of the persistent global-ID -> slot map."""
+        return dict(self._slot_of)
+
     def reset(self) -> None:
         self.memory = self.model.init_memory(self.dims[1])
+        self._slot_of = {}
 
     def save_state(self, path: str) -> None:
         from .nn.encdec import save_temporal_state
         save_temporal_state(self.memory, path)
+        with open(path + ".slots.json", "w") as f:
+            json.dump({str(g): s for g, s in self._slot_of.items()}, f)
 
     def load_state(self, path: str) -> None:
         from .nn.encdec import load_temporal_state
         self.memory = load_temporal_state(path)
+        slots_path = path + ".slots.json"
+        if os.path.exists(slots_path):
+            with open(slots_path) as f:
+                self._slot_of = {int(g): int(s)
+                                 for g, s in json.load(f).items()}
 
 
 # ---------------------------------------------------------------------------
@@ -270,13 +357,16 @@ def export_artifact(model: TAGAN, params, dims: Tuple[int, int, int, int],
     * ``meta.json`` — artifact version, model config, dims, batch size.
 
     ``platforms`` defaults to ``("cpu", "tpu")`` so one artifact serves
-    both; pass a single platform if the model uses ops that only lower
-    there (e.g. the Pallas flash backend is TPU-only).
+    both — except for the Pallas flash backend, whose kernels only lower
+    for TPU, where the default is ``("tpu",)``. Pass ``platforms``
+    explicitly to override.
     """
     from jax import export as jexport
 
     T, N, E, Fe = dims
     dense_adj = model.config.spatial_backend == "dense"
+    if platforms is None and model.config.spatial_backend == "flash":
+        platforms = ("tpu",)
 
     def spec(shape, dtype):
         return jax.ShapeDtypeStruct((batch_size,) + tuple(shape), dtype)
@@ -340,6 +430,11 @@ class ExportedPredictor:
         self.dense_adj = bool(meta["dense_adj"])
 
     def _pack(self, sequences) -> List[SnapshotSequence]:
+        if isinstance(sequences, SnapshotSequence):
+            # mirror Predictor._pack: unstack a pre-built stacked batch
+            return [sequences] if sequences.x.ndim == 3 else \
+                [jax.tree_util.tree_map(lambda a: a[i], sequences)
+                 for i in range(sequences.x.shape[0])]
         T, N, E, Fe = self.dims
         return [build_sequence(s, max_nodes=N, max_edges=max(E, 1),
                                max_time=T, edge_feature_dim=Fe,
@@ -347,8 +442,7 @@ class ExportedPredictor:
                 for s in sequences]
 
     def predict_proba(self, sequences) -> np.ndarray:
-        seqs = self._pack(sequences) \
-            if not isinstance(sequences, SnapshotSequence) else [sequences]
+        seqs = self._pack(sequences)
         n = len(seqs)
         bs = self.batch_size
         probs = []

@@ -95,7 +95,8 @@ def test_streaming_session_carries_memory(setup, tmp_path):
     sess = StreamingSession(model, params, dims=(T, N, E, Fe))
     p1 = sess.update(seqs[0])
     mem_after_1 = sess.memory
-    assert np.all(np.asarray(mem_after_1.valid) | True)  # pytree alive
+    # the first chunk's active nodes must have live memory rows
+    assert np.asarray(mem_after_1.valid).any()
     p2 = sess.update(seqs[1])
     assert p1.shape == p2.shape
 
@@ -117,6 +118,60 @@ def test_streaming_session_carries_memory(setup, tmp_path):
     # a fresh session fed the same first chunk reproduces p1 exactly
     sess2 = StreamingSession(model, params, dims=(T, N, E, Fe))
     np.testing.assert_allclose(sess2.update(seqs[0]), p1, rtol=0, atol=0)
+
+
+def _chunk(node_ids, seed, t0=0.0):
+    """Two snapshots over the given global node IDs, fully connected."""
+    rng = np.random.default_rng(seed)
+    n = len(node_ids)
+    ei = np.asarray([(i, j) for i in range(n) for j in range(n)
+                     if i != j]).T.reshape(2, -1)
+    return [{"x": rng.standard_normal((n, 8)).astype(np.float32),
+             "edge_index": ei, "edge_attr": None,
+             "node_ids": list(node_ids), "timestep": t0 + s}
+            for s in range(2)]
+
+
+def test_streaming_slot_map_survives_node_churn(setup):
+    """A chunk whose node set differs from the previous chunk must not
+    blend carried memory into the wrong nodes (the packer assigns
+    chunk-local slots by sorted ID; the session must remap to a
+    persistent global-ID layout)."""
+    model, params, _ = setup
+    dims = (4, 16, 64, 0)
+
+    sess = StreamingSession(model, params, dims=dims)
+    sess.update(_chunk([3, 7], seed=0))
+    slots_1 = sess.slot_of
+    assert set(slots_1) == {3, 7}
+    valid = np.asarray(sess.memory.valid)
+    assert valid[slots_1[3]] and valid[slots_1[7]]
+    state_3 = np.asarray(sess.memory.states)[slots_1[3]].copy()
+
+    # chunk 2 introduces node 1 (sorts before 3 — chunk-local slot 0);
+    # nodes 3 and 7 are absent
+    sess.update(_chunk([1], seed=1, t0=2.0))
+    slots_2 = sess.slot_of
+    assert slots_2[3] == slots_1[3] and slots_2[7] == slots_1[7]
+    assert slots_2[1] not in (slots_1[3], slots_1[7])
+    # node 3's carried memory row was not overwritten by node 1's state
+    # (it only decays, i.e. shrinks in norm)
+    state_3_after = np.asarray(sess.memory.states)[slots_2[3]]
+    assert np.linalg.norm(state_3_after) <= np.linalg.norm(state_3) + 1e-6
+
+    # relabeling a NEW node id must not change predictions: the id only
+    # keys memory identity, and a fresh id carries no memory either way
+    sess_a = StreamingSession(model, params, dims=dims)
+    sess_a.update(_chunk([3, 7], seed=0))
+    p_a = sess_a.update(_chunk([1, 7], seed=2, t0=2.0))
+
+    sess_b = StreamingSession(model, params, dims=dims)
+    sess_b.update(_chunk([3, 7], seed=0))
+    chunk_renamed = _chunk([1, 7], seed=2, t0=2.0)
+    for s in chunk_renamed:
+        s["node_ids"] = [100 if i == 1 else i for i in s["node_ids"]]
+    p_b = sess_b.update(chunk_renamed)
+    np.testing.assert_allclose(p_a, p_b, rtol=1e-5, atol=1e-6)
 
 
 def test_streaming_rejects_executed_mode(setup):
