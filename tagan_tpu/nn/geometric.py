@@ -184,11 +184,11 @@ class GeometricAttention:
     ) -> jax.Array:
         """Same semantics as the dense path but through the fused Pallas
         flash kernel (ops.pallas.flash_geometric) — the [N, N] score
-        matrix never reaches HBM. Dropout on attention weights is not
-        available inside the fused kernel (weights are never
-        materialized); output dropout still applies. ``plan``/``plan_t``
-        share one precomputed block-sparsity plan across layers (see
-        ops.pallas.flash_geometric.make_block_plan)."""
+        matrix never reaches HBM. Attention-weight dropout runs *inside*
+        the kernel (hash-PRNG keep mask regenerated by the backward
+        kernels); output dropout applies outside as usual.
+        ``plan``/``plan_t`` share one precomputed block-sparsity plan
+        across layers (see ops.pallas.flash_geometric.make_block_plan)."""
         from ..ops.pallas.flash_geometric import (MXU_METRICS,
                                                   flash_geometric_attention)
         sigma, gamma, _ = self._metric_params(p)
@@ -198,6 +198,16 @@ class GeometricAttention:
             # manhattan is not blockwise-MXU expressible
             return self(p, x, attention_mask, deterministic=deterministic,
                         rng=rng)
+        att_rate = 0.0
+        att_seed = None
+        if not deterministic and rng is not None and self.dropout > 0.0:
+            rng, r_att = jax.random.split(rng)
+            att_rate = self.dropout
+            # one int32 seed per snapshot feeds the kernel's hash PRNG
+            n_seeds = x.shape[0] if x.ndim == 3 else 1
+            att_seed = jax.random.randint(
+                r_att, (n_seeds, 1), 0, jnp.iinfo(jnp.int32).max,
+                dtype=jnp.int32)
         identity = x
         h = M.layer_norm(p["ln1"], x) if self.use_layer_norm else x
         q = self._split_heads(M.linear(p["q"], h))
@@ -213,23 +223,30 @@ class GeometricAttention:
                 q = jnp.einsum("...hnd,hrd->...hnr", q, f)
                 k = jnp.einsum("...hnd,hrd->...hnr", k, f)
 
-        def one(qh, kh, vh, mh, pln=plan, pln_t=plan_t):
+        def one(qh, kh, vh, mh, sd=att_seed, pln=plan, pln_t=plan_t):
             return flash_geometric_attention(
                 qh, kh, vh, mh, metric=metric,
                 scale_param=scale, block_m=block_m, block_n=block_n,
                 bf16=bf16, max_blocks_per_row=max_blocks_per_row,
                 plan=pln, plan_t=pln_t,
-                max_blocks_per_col=max_blocks_per_col)
+                max_blocks_per_col=max_blocks_per_col,
+                dropout_rate=att_rate, dropout_seed=sd)
 
         if x.ndim == 3:   # [T, N, hidden] snapshots
+            seed_ax = None if att_seed is None else 0
             if plan is not None:
-                ctx = jax.vmap(one)(q, k, v, attention_mask, plan, plan_t)
+                ctx = jax.vmap(one, in_axes=(0, 0, 0, 0, seed_ax, 0, 0)
+                               )(q, k, v, attention_mask, att_seed, plan,
+                                 plan_t)
             else:
                 ctx = jax.vmap(
-                    lambda qh, kh, vh, mh: one(qh, kh, vh, mh, None, None)
-                )(q, k, v, attention_mask)
+                    lambda qh, kh, vh, mh, sd: one(qh, kh, vh, mh, sd,
+                                                   None, None),
+                    in_axes=(0, 0, 0, 0, seed_ax),
+                )(q, k, v, attention_mask, att_seed)
         else:
-            ctx = one(q, k, v, attention_mask)
+            sd0 = None if att_seed is None else att_seed[0]
+            ctx = one(q, k, v, attention_mask, sd0)
         ctx = self._merge_heads(ctx)
         ctx = M.linear(p["o"], ctx)
         if not deterministic and rng is not None:
@@ -252,10 +269,17 @@ class GeometricAttention:
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
         use_pallas: bool = False,
+        edge_bias: Optional[jax.Array] = None,     # [E'] per-edge bias
     ) -> jax.Array:
         """Same semantics on an explicit edge list (self loops must already
         be included — see `ops.sparse.add_self_loops`). Padded slots produce
-        zeros and are restored to the residual value."""
+        zeros and are restored to the residual value.
+
+        ``edge_bias`` is the per-edge additive bias of the dense path's
+        geometric-bias re-softmax (zeros expected on appended self-loop
+        entries, matching the dense path's mask-restricted bias). With
+        dropout active, weights are dropped after each softmax exactly
+        like the dense op order."""
         identity = x
         h = M.layer_norm(p["ln1"], x) if self.use_layer_norm else x
         q = self._split_heads(M.linear(p["q"], h))   # [H, N, Dh]
@@ -264,7 +288,17 @@ class GeometricAttention:
         sigma, gamma, cov_inv = self._metric_params(p)
         n = x.shape[-2]
 
+        att_rate = 0.0
+        r_att = None
+        if not deterministic and rng is not None and self.dropout > 0.0:
+            rng, r_att = jax.random.split(rng)
+            att_rate = self.dropout
+
         if use_pallas:
+            if edge_bias is not None or att_rate > 0.0:
+                raise NotImplementedError(
+                    "fused_edge_attention supports neither edge bias nor "
+                    "attention dropout; use the XLA edge path")
             from ..ops.pallas import fused_edge_attention
             ctx = fused_edge_attention(
                 self.distance_metric, q, k, v, edge_q, edge_k, edge_mask, n,
@@ -272,7 +306,9 @@ class GeometricAttention:
         else:
             ctx = S.edge_attention(
                 self.distance_metric, q, k, v, edge_q, edge_k, edge_mask, n,
-                sigma=sigma, gamma=gamma, cov_inv=cov_inv)
+                sigma=sigma, gamma=gamma, cov_inv=cov_inv,
+                edge_bias=edge_bias, dropout_rate=att_rate,
+                dropout_rng=r_att)
 
         ctx = self._merge_heads(ctx)
         ctx = M.linear(p["o"], ctx)

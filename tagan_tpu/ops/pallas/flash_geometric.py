@@ -27,6 +27,23 @@ in factor space (|Fq − Fk|², transform applied by the caller —
 nn.geometric.apply_flash); only manhattan is not MXU-expressible
 blockwise and stays on the XLA path. q/k and v feature dims may differ.
 
+**All eight metrics train through Pallas backward kernels** — the
+[N, N] scores are recomputed blockwise in VMEM during backward, never
+in HBM. The kernel-parameterized metrics (gaussian sigma / rbf gamma)
+accumulate d(scale) inside the dq kernel (one extra per-block
+reduction); the cosine metrics run the kernels on L2-normalized inputs
+with the clip gradient applied in-block and the normalization chain
+pulled back outside (O(N·D) in XLA).
+
+**Attention dropout** (the reference's softmax-weight dropout,
+`geometric_attention.py:474-516`) runs *inside* the kernel: a
+counter-based hash PRNG keyed on (seed, head, global row, global col)
+generates the keep mask, so the backward kernels — including the
+transposed dk/dv walk — regenerate the identical mask from coordinates
+alone, with nothing materialized. The softmax denominator uses the
+un-dropped sum (dropout applies to the normalized weights, matching
+``dropout(softmax(s)) @ v`` exactly).
+
 Note on numerics: the kernel uses the norm-expansion form of the
 squared distance; the XLA oracle uses subtract-then-square. They agree
 to ~1e-5 relative at fp32, which the kernel tests assert.
@@ -53,18 +70,30 @@ MXU_METRICS = ("scaled_dot_product", "dot_product", "squared_euclidean",
                "euclidean", "gaussian_kernel", "rbf_kernel",
                "cosine_similarity", "cosine_distance")
 
+# metrics whose score goes through the squared distance sq = |q|²+|k|²-2qk
+_SQ_METRICS = ("squared_euclidean", "euclidean", "gaussian_kernel",
+               "rbf_kernel")
 
-def _block_scores(metric: str, q, k, scale_param, true_d: int,
-                  bf16: bool = False):
-    """Score block [BM, BN] from q [BM, D], k [BN, D] via the cross-term
-    expansion. scale_param: per-head sigma/gamma scalar (traced);
-    true_d: unpadded head dim (padding distorts sqrt(d) scaling);
-    bf16: run the MXU cross term in bfloat16 (fp32 accumulate)."""
-    if bf16:
-        qk = jnp.dot(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16).T,
-                     preferred_element_type=jnp.float32)
-    else:
-        qk = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+# metrics with a Pallas backward (all of them — kept as a name for the
+# tests and for callers probing capability)
+BWD_METRICS = MXU_METRICS
+
+# metrics with a learnable per-head scale parameter (d(scale) is
+# accumulated in-kernel during backward)
+SCALED_METRICS = ("gaussian_kernel", "rbf_kernel")
+
+_COSINE = ("cosine_similarity", "cosine_distance")
+
+
+def _l2_normalize(x: jax.Array) -> jax.Array:
+    """Row L2-normalization with the same zero-guard the oracle uses."""
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.where(n == 0, 1e-8, n)
+
+
+def _scores_from(metric: str, qk, sq, scale, true_d: int):
+    """Score block from the cross term (and squared distance where
+    needed). `scale` is the per-head sigma/gamma scalar (traced)."""
     if metric == "scaled_dot_product":
         return qk / math.sqrt(true_d)
     if metric == "dot_product":
@@ -73,28 +102,89 @@ def _block_scores(metric: str, q, k, scale_param, true_d: int,
         return jnp.clip(qk, -1.0, 1.0)
     if metric == "cosine_distance":
         return jnp.clip(qk, -1.0, 1.0) - 1.0
-    qn = jnp.sum(q * q, axis=-1, keepdims=True)       # [BM, 1]
-    kn = jnp.sum(k * k, axis=-1, keepdims=True).T     # [1, BN]
-    sq = jnp.maximum(qn + kn - 2.0 * qk, 0.0)
     if metric == "squared_euclidean":
         return -sq
     if metric == "euclidean":
         return -jnp.sqrt(sq + 1e-8)
     if metric == "gaussian_kernel":
-        return jnp.exp(-sq / (2.0 * scale_param * scale_param))
+        return jnp.exp(-sq / (2.0 * scale * scale))
     if metric == "rbf_kernel":
-        return jnp.exp(-scale_param * sq)
+        return jnp.exp(-scale * sq)
     raise NotImplementedError(metric)
+
+
+def _qk_sq(metric: str, q, k, bf16: bool):
+    """Cross term (MXU) and, for sq-based metrics, the squared
+    distance via the norm expansion."""
+    if bf16:
+        qk = jnp.dot(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32)
+    else:
+        qk = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    sq = None
+    if metric in _SQ_METRICS:
+        qn = jnp.sum(q * q, axis=-1, keepdims=True)       # [BM, 1]
+        kn = jnp.sum(k * k, axis=-1, keepdims=True).T     # [1, BN]
+        sq = jnp.maximum(qn + kn - 2.0 * qk, 0.0)
+    return qk, sq
+
+
+def _block_scores(metric: str, q, k, scale_param, true_d: int,
+                  bf16: bool = False):
+    """Score block [BM, BN] from q [BM, D], k [BN, D]."""
+    qk, sq = _qk_sq(metric, q, k, bf16)
+    return _scores_from(metric, qk, sq, scale_param, true_d)
+
+
+def _clip_grad(x):
+    """d(clip(x, -1, 1))/dx with JAX's min/max tie-splitting (0.5 at the
+    exact boundary) so kernel grads match `jnp.clip` autodiff."""
+    hi = jnp.where(x > 1.0, 0.0, jnp.where(x == 1.0, 0.5, 1.0))
+    lo = jnp.where(x < -1.0, 0.0, jnp.where(x == -1.0, 0.5, 1.0))
+    return hi * lo
+
+
+# ---------------------------------------------------------------------------
+# In-kernel dropout: counter-based hash PRNG on global coordinates
+# ---------------------------------------------------------------------------
+
+def _keep_thresh(rate: float) -> int:
+    """uint32 threshold for `bits < thresh == keep` at keep prob 1-rate."""
+    return min(int(round((1.0 - rate) * 4294967296.0)), 4294967295)
+
+
+def _keep_mask(seed, h, row0, col0, bm: int, bn: int, thresh: int):
+    """Deterministic keep mask bool[bm, bn] for the block whose top-left
+    global coordinate is (row0, col0), head h. Stateless (a triple32-
+    style integer hash), so forward and both backward walks — including
+    the transposed dk/dv walk — regenerate the identical mask from
+    coordinates alone. Works in interpret mode too (plain jnp ops, no
+    pltpu.prng)."""
+    u32 = jnp.uint32
+    r = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+    c = col0 + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+    x = r.astype(u32) * u32(0x9E3779B1)
+    x = x ^ (c.astype(u32) * u32(0x85EBCA77))
+    x = x + (seed.astype(u32) ^ (h.astype(u32) * u32(0xC2B2AE3D)))
+    x = x ^ (x >> 17)
+    x = x * u32(0xED5AD4BB)
+    x = x ^ (x >> 11)
+    x = x * u32(0xAC4C1B51)
+    x = x ^ (x >> 15)
+    x = x * u32(0x31848BAB)
+    x = x ^ (x >> 14)
+    return x < u32(thresh)
 
 
 LSE_DEAD = 1e30   # stored logsumexp for rows with no valid edges:
                   # exp(s - LSE_DEAD) underflows to exactly 0 in backward
 
 
-def _flash_kernel(jlist_ref, jcount_ref, scale_ref,
+def _flash_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
                   q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                   acc_ref, m_ref, l_ref, *, metric: str, n_j: int,
-                  true_d: int, bf16: bool):
+                  true_d: int, bf16: bool, dropout_rate: float,
+                  block_m: int, block_n: int):
     """Block-sparse flash body. The grid's j axis walks a *compacted*
     list of occupied key blocks (scalar-prefetched `jlist` drives the
     k/v/mask index maps, so empty blocks cost neither DMA nor compute;
@@ -131,12 +221,22 @@ def _flash_kernel(jlist_ref, jcount_ref, scale_ref,
         # via the m == NEG_INF check.
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
+        # the softmax denominator uses the UN-dropped sum: dropout acts
+        # on the normalized weights, exactly dropout(softmax(s)) @ v
         l_new = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref[0], h, i * block_m,
+                              jlist_ref[i, j] * block_n, block_m, block_n,
+                              _keep_thresh(dropout_rate))
+            p_v = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        else:
+            p_v = p
         if bf16:
-            pv = jnp.dot(p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            pv = jnp.dot(p_v.astype(jnp.bfloat16),
+                         v.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
         else:
-            pv = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            pv = jnp.dot(p_v, v, preferred_element_type=jnp.float32)
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new
         l_ref[:] = l_new
@@ -271,8 +371,8 @@ def occupied_blocks_bound(mask, block_m: int = 512,
 
 
 def _xla_reference(metric, q, k, v, mask, scale_param):
-    """Dense XLA oracle used for the backward pass (and as the
-    definition the kernel must match)."""
+    """Dense XLA oracle — the definition the kernel must match
+    (deterministic path; in-kernel dropout has no dense twin)."""
     from ..distances import pairwise_scores
     from ..masked import masked_softmax
     sigma = scale_param if metric == "gaussian_kernel" else None
@@ -282,71 +382,88 @@ def _xla_reference(metric, q, k, v, mask, scale_param):
     return jnp.einsum("hij,hjd->hid", w, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def _flash_diff(q, k, v, mask, jlist, jcount, ilist, icount,
-                metric, block_m, block_n, bf16):
+# ---------------------------------------------------------------------------
+# Differentiable entry points (custom_vjp, Pallas forward AND backward)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def _flash_diff(q, k, v, mask, jlist, jcount, ilist, icount, seed,
+                metric, block_m, block_n, bf16, dropout_rate):
     return _flash_forward(q, k, v, mask, metric=metric, block_m=block_m,
                           block_n=block_n, bf16=bf16,
-                          plan=(jlist, jcount))
+                          plan=(jlist, jcount), seed=seed,
+                          dropout_rate=dropout_rate)
 
 
-def _flash_diff_fwd(q, k, v, mask, jlist, jcount, ilist, icount,
-                    metric, block_m, block_n, bf16):
+def _flash_diff_fwd(q, k, v, mask, jlist, jcount, ilist, icount, seed,
+                    metric, block_m, block_n, bf16, dropout_rate):
     out, lse = _flash_forward(q, k, v, mask, metric=metric,
                               block_m=block_m, block_n=block_n, bf16=bf16,
-                              plan=(jlist, jcount), return_lse=True)
-    return out, (q, k, v, mask, out, lse, jlist, jcount, ilist, icount)
+                              plan=(jlist, jcount), seed=seed,
+                              dropout_rate=dropout_rate, return_lse=True)
+    return out, (q, k, v, mask, out, lse, jlist, jcount, ilist, icount,
+                 seed)
 
 
-def _flash_diff_bwd(metric, block_m, block_n, bf16, res, g):
-    q, k, v, mask, out, lse, jlist, jcount, ilist, icount = res
-    if metric in BWD_METRICS:
-        # flash backward kernels: [N, N] scores recomputed blockwise in
-        # VMEM, never in HBM; the forward's block-sparsity plans are
-        # reused instead of rebuilt
+def _flash_diff_bwd(metric, block_m, block_n, bf16, dropout_rate, res, g):
+    q, k, v, mask, out, lse, jlist, jcount, ilist, icount, seed = res
+    kw = dict(metric=metric, block_m=block_m, block_n=block_n, bf16=bf16,
+              plan=(jlist, jcount), plan_t=(ilist, icount), seed=seed,
+              dropout_rate=dropout_rate)
+    if metric in _COSINE:
+        # the kernels ran on L2-normalized q/k (the forward normalizes);
+        # run the Pallas backward in normalized space and pull the
+        # normalization chain back outside — O(N·D) XLA, no [N, N]
+        qn, vjp_q = jax.vjp(_l2_normalize, q)
+        kn, vjp_k = jax.vjp(_l2_normalize, k)
+        dqn, dkn, dv = flash_geometric_attention_bwd(
+            qn, kn, v, mask, out, lse, g, **kw)
+        dq, = vjp_q(dqn)
+        dk, = vjp_k(dkn)
+    else:
         dq, dk, dv = flash_geometric_attention_bwd(
-            q, k, v, mask, out, lse, g, metric=metric,
-            block_m=block_m, block_n=block_n, bf16=bf16,
-            plan=(jlist, jcount), plan_t=(ilist, icount))
-        return dq, dk, dv, None, None, None, None, None
-    # remaining metrics (kernel/cosine families): recompute through the
-    # dense XLA formulation — O(N^2) HBM only during backward
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_reference(metric, q_, k_, v_, mask, None),
-        q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None, None, None, None, None
+            q, k, v, mask, out, lse, g, **kw)
+    return dq, dk, dv, None, None, None, None, None, None
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _flash_diff_scaled(q, k, v, scale, mask, jlist, jcount,
-                       metric, block_m, block_n, bf16):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def _flash_diff_scaled(q, k, v, scale, mask, jlist, jcount, ilist, icount,
+                       seed, metric, block_m, block_n, bf16, dropout_rate):
     """Scale-parameterized variant (gaussian sigma / rbf gamma): Pallas
-    kernel forward, dense XLA-recompute backward that also yields
-    d(scale) — O(N^2) HBM only while differentiating."""
+    kernels forward AND backward; d(scale) is accumulated inside the dq
+    kernel — the [N, N] scores never reach HBM in either direction."""
     return _flash_forward(q, k, v, mask, metric=metric, scale_param=scale,
                           block_m=block_m, block_n=block_n, bf16=bf16,
-                          plan=(jlist, jcount))
+                          plan=(jlist, jcount), seed=seed,
+                          dropout_rate=dropout_rate)
 
 
-def _flash_diff_scaled_fwd(q, k, v, scale, mask, jlist, jcount,
-                           metric, block_m, block_n, bf16):
-    out = _flash_forward(q, k, v, mask, metric=metric, scale_param=scale,
-                         block_m=block_m, block_n=block_n, bf16=bf16,
-                         plan=(jlist, jcount))
-    return out, (q, k, v, scale, mask)
+def _flash_diff_scaled_fwd(q, k, v, scale, mask, jlist, jcount, ilist,
+                           icount, seed, metric, block_m, block_n, bf16,
+                           dropout_rate):
+    out, lse = _flash_forward(q, k, v, mask, metric=metric,
+                              scale_param=scale, block_m=block_m,
+                              block_n=block_n, bf16=bf16,
+                              plan=(jlist, jcount), seed=seed,
+                              dropout_rate=dropout_rate, return_lse=True)
+    return out, (q, k, v, scale, mask, out, lse, jlist, jcount, ilist,
+                 icount, seed)
 
 
-def _flash_diff_scaled_bwd(metric, block_m, block_n, bf16, res, g):
-    q, k, v, scale, mask = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, s_: _xla_reference(metric, q_, k_, v_, mask, s_),
-        q, k, v, scale)
-    dq, dk, dv, ds = vjp(g)
-    return dq, dk, dv, ds, None, None, None
+def _flash_diff_scaled_bwd(metric, block_m, block_n, bf16, dropout_rate,
+                           res, g):
+    (q, k, v, scale, mask, out, lse, jlist, jcount, ilist, icount,
+     seed) = res
+    dq, dk, dv, dscale = flash_geometric_attention_bwd(
+        q, k, v, mask, out, lse, g, metric=metric, scale=scale,
+        block_m=block_m, block_n=block_n, bf16=bf16,
+        plan=(jlist, jcount), plan_t=(ilist, icount), seed=seed,
+        dropout_rate=dropout_rate, need_dscale=True)
+    return (dq, dk, dv, dscale.astype(scale.dtype), None, None, None,
+            None, None, None)
 
 
 _flash_diff_scaled.defvjp(_flash_diff_scaled_fwd, _flash_diff_scaled_bwd)
@@ -363,7 +480,8 @@ def _shrink_plan(plan, walk: Optional[int]):
 @functools.partial(jax.jit, static_argnames=("metric", "block_m",
                                              "block_n", "bf16",
                                              "max_blocks_per_row",
-                                             "max_blocks_per_col"))
+                                             "max_blocks_per_col",
+                                             "dropout_rate"))
 def flash_geometric_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
     metric: str = "scaled_dot_product",
@@ -371,19 +489,26 @@ def flash_geometric_attention(
     block_m: int = 512, block_n: int = 1024, bf16: bool = False,
     max_blocks_per_row: Optional[int] = None, plan=None,
     plan_t=None, max_blocks_per_col: Optional[int] = None,
+    dropout_rate: float = 0.0, dropout_seed: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Differentiable entry point: Pallas kernels forward AND backward
-    (custom_vjp), both walking precomputed block-sparsity plans. `plan`
-    (query-block walk) and `plan_t` (the transposed plan driving the
-    dk/dv kernel) are computed here when not supplied — pass them in to
-    share one plan across the attention layers of a model (the adjacency
-    is fixed per snapshot). `max_blocks_per_row`/`max_blocks_per_col`
-    statically shrink the forward/backward grids for block-sparse graphs
-    (must upper-bound the true occupancy — see `occupied_blocks_bound`).
+    (custom_vjp) for every MXU metric, both walking precomputed
+    block-sparsity plans. `plan` (query-block walk) and `plan_t` (the
+    transposed plan driving the dk/dv kernel) are computed here when not
+    supplied — pass them in to share one plan across the attention
+    layers of a model (the adjacency is fixed per snapshot).
+    `max_blocks_per_row`/`max_blocks_per_col` statically shrink the
+    forward/backward grids for block-sparse graphs (must upper-bound the
+    true occupancy — see `occupied_blocks_bound`).
 
     Kernel-parameterized metrics (gaussian/rbf with learnable
-    sigma/gamma) run the Pallas forward too; their backward recomputes
-    densely through XLA so gradients flow into q/k/v AND the scale."""
+    sigma/gamma) run Pallas in both directions too; d(sigma)/d(gamma)
+    is reduced inside the dq kernel.
+
+    ``dropout_rate`` > 0 with a ``dropout_seed`` (int32 scalar/[1])
+    enables in-kernel attention-weight dropout (inverted, like the
+    dense path); the backward regenerates the identical mask.
+    """
     N = q.shape[1]
     Np = _round_up(N, max(block_m, block_n))
     if plan is None and plan_t is None:
@@ -400,11 +525,16 @@ def flash_geometric_attention(
                                              n_pad=Np)
     jlist, jcount = _shrink_plan(plan, max_blocks_per_row)
     ilist, icount = _shrink_plan(plan_t, max_blocks_per_col)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed = jnp.zeros((1,), jnp.int32) if dropout_seed is None \
+        else jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
     if scale_param is not None:
         return _flash_diff_scaled(q, k, v, scale_param, mask, jlist,
-                                  jcount, metric, block_m, block_n, bf16)
-    return _flash_diff(q, k, v, mask, jlist, jcount, ilist, icount,
-                       metric, block_m, block_n, bf16)
+                                  jcount, ilist, icount, seed, metric,
+                                  block_m, block_n, bf16, dropout_rate)
+    return _flash_diff(q, k, v, mask, jlist, jcount, ilist, icount, seed,
+                       metric, block_m, block_n, bf16, dropout_rate)
 
 
 def _flash_forward(
@@ -419,6 +549,8 @@ def _flash_forward(
     bf16: bool = False,
     max_blocks_per_row: Optional[int] = None,
     plan=None,    # optional precomputed (jlist, jcount) from make_block_plan
+    seed: Optional[jax.Array] = None,          # i32[1] dropout seed
+    dropout_rate: float = 0.0,
     return_lse: bool = False,
 ) -> jax.Array:
     """Fused edge-masked attention for one snapshot. Returns [H, N, D]
@@ -438,14 +570,13 @@ def _flash_forward(
     H, N, D = q.shape
     Dv = v.shape[-1]          # q/k and v feature dims may differ (e.g.
                               # mahalanobis runs q/k in factor space)
-    if metric in ("cosine_similarity", "cosine_distance"):
-        def _norm(x):
-            n = jnp.linalg.norm(x, axis=-1, keepdims=True)
-            return x / jnp.where(n == 0, 1e-8, n)
-        q = _norm(q)
-        k = _norm(k)
+    if metric in _COSINE:
+        q = _l2_normalize(q)
+        k = _l2_normalize(k)
     if scale_param is None:
         scale_param = jnp.ones((H,), jnp.float32)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
 
     # pad to block multiples; padded mask columns/rows are zero
     Np = _round_up(N, max(block_m, block_n))
@@ -480,19 +611,19 @@ def _flash_forward(
     n_j = n_walk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n, Dp),
-                         lambda h, i, j, jl, jc, sc: (h, jl[i, j], 0),
+                         lambda h, i, j, jl, jc, sc, sd: (h, jl[i, j], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n, Dp),
-                         lambda h, i, j, jl, jc, sc: (h, jl[i, j], 0),
+                         lambda h, i, j, jl, jc, sc, sd: (h, jl[i, j], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_m, block_n),
-                         lambda h, i, j, jl, jc, sc: (i, jl[i, j]),
+                         lambda h, i, j, jl, jc, sc, sd: (i, jl[i, j]),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -512,7 +643,8 @@ def _flash_forward(
 
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, metric=metric, n_j=n_j,
-                          true_d=D, bf16=bf16),
+                          true_d=D, bf16=bf16, dropout_rate=dropout_rate,
+                          block_m=block_m, block_n=block_n),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), q.dtype),
                    jax.ShapeDtypeStruct((H, Np, 1), jnp.float32)),
@@ -522,7 +654,7 @@ def _flash_forward(
             transcendentals=H * Np * Np,
         ),
     )(jlist, jcount.astype(jnp.int32), scale_param.astype(jnp.float32),
-      q, k, v, mask)
+      jnp.asarray(seed, jnp.int32).reshape((1,)), q, k, v, mask)
     if return_lse:
         return out[:, :N, :Dv], lse[:, :N, 0]
     return out[:, :N, :Dv]
@@ -532,10 +664,6 @@ def _flash_forward(
 # Pallas backward kernels (flash-attention backward, edge-masked)
 # ---------------------------------------------------------------------------
 
-BWD_METRICS = ("scaled_dot_product", "dot_product", "squared_euclidean",
-               "euclidean")
-
-
 def _dot(a, b, bf16: bool):
     """MXU contraction with fp32 accumulate; optional bf16 inputs."""
     if bf16:
@@ -544,66 +672,82 @@ def _dot(a, b, bf16: bool):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row, mask, true_d,
-              bf16):
-    """Shared recompute for the backward block: returns (p, ds, sq)
-    where p is the probability block and ds = dL/dscores."""
-    s = _block_scores(metric, q, k, 1.0, true_d, bf16)
-    p = jnp.exp(s - lse_row)
-    p = jnp.where(mask != 0, p, 0.0)
+def _bwd_block(metric, q, k, v, do, lse_row, delta_row, mask, true_d,
+               scale, bf16, keep, keep_inv):
+    """Shared recompute for a backward block: returns
+    (p, ds, s, sq, qk) where p is the (normalized) probability block and
+    ds = dL/dscores. `keep` is the regenerated dropout mask (or None)."""
+    qk, sq = _qk_sq(metric, q, k, bf16)
+    s = _scores_from(metric, qk, sq, scale, true_d)
+    p = jnp.where(mask != 0, jnp.exp(s - lse_row), 0.0)
     dp = _dot(do, v.T, bf16)
+    if keep is not None:
+        dp = jnp.where(keep, dp * keep_inv, 0.0)
     ds = p * (dp - delta_row)
-    return p, ds
+    return p, ds, s, sq, qk
 
 
-def _dscore_chain_dq(metric, ds, q, k, true_d, bf16):
+def _dsq_from_ds(metric, ds, s, sq, scale):
+    """Chain dL/dscore -> dL/d(squared distance) for sq-based metrics."""
+    if metric == "squared_euclidean":
+        return -ds
+    if metric == "euclidean":
+        return ds * (-0.5 * jax.lax.rsqrt(sq + 1e-8))
+    if metric == "gaussian_kernel":
+        return ds * s * (-1.0 / (2.0 * scale * scale))
+    if metric == "rbf_kernel":
+        return ds * (-scale * s)
+    raise NotImplementedError(metric)
+
+
+def _chain_dq(metric, ds, s, sq, qk, q, k, scale, true_d, bf16):
     """dq contribution of a block given ds [BM, BN]."""
     if metric == "dot_product":
         return _dot(ds, k, bf16)
     if metric == "scaled_dot_product":
         return _dot(ds, k, bf16) / math.sqrt(true_d)
-    # sq-based metrics: dsq/dq_i = 2 q_i - 2 k_j
-    if metric == "squared_euclidean":
-        dsq = -ds
-    else:  # euclidean: score = -sqrt(sq + eps)
-        qn = jnp.sum(q * q, axis=-1, keepdims=True)
-        kn = jnp.sum(k * k, axis=-1, keepdims=True).T
-        qk = _dot(q, k.T, bf16)
-        sq = jnp.maximum(qn + kn - 2.0 * qk, 0.0)
-        dsq = ds * (-0.5 * jax.lax.rsqrt(sq + 1e-8))
+    if metric in _COSINE:
+        return _dot(ds * _clip_grad(qk), k, bf16)
+    dsq = _dsq_from_ds(metric, ds, s, sq, scale)
     row = jnp.sum(dsq, axis=1, keepdims=True)
     return 2.0 * (row * q - _dot(dsq, k, bf16))
 
 
-def _dscore_chain_dk(metric, ds, q, k, true_d, bf16):
+def _chain_dk(metric, ds, s, sq, qk, q, k, scale, true_d, bf16):
     """dk contribution of a block given ds [BM, BN]."""
     if metric == "dot_product":
         return _dot(ds.T, q, bf16)
     if metric == "scaled_dot_product":
         return _dot(ds.T, q, bf16) / math.sqrt(true_d)
-    if metric == "squared_euclidean":
-        dsq = -ds
-    else:
-        qn = jnp.sum(q * q, axis=-1, keepdims=True)
-        kn = jnp.sum(k * k, axis=-1, keepdims=True).T
-        qk = _dot(q, k.T, bf16)
-        sq = jnp.maximum(qn + kn - 2.0 * qk, 0.0)
-        dsq = ds * (-0.5 * jax.lax.rsqrt(sq + 1e-8))
+    if metric in _COSINE:
+        return _dot((ds * _clip_grad(qk)).T, q, bf16)
+    dsq = _dsq_from_ds(metric, ds, s, sq, scale)
     col = jnp.sum(dsq, axis=0)[:, None]
     return 2.0 * (col * k - _dot(dsq.T, q, bf16))
 
 
-def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, q_ref, k_ref, v_ref,
-                         mask_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                         acc_ref, *, metric, n_j, true_d, bf16):
+def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
+                         q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                         delta_ref, *rest, metric, n_j, true_d, bf16,
+                         dropout_rate, block_m, block_n, need_dscale):
     """dq accumulation over a compacted walk of occupied key blocks
-    (same block-sparsity plan as the forward)."""
+    (same block-sparsity plan as the forward). With `need_dscale`, also
+    reduces d(sigma)/d(gamma) per (head, query-block) into a second
+    output (summed outside)."""
+    if need_dscale:
+        dq_ref, dsc_ref, acc_ref, dsc_acc = rest
+    else:
+        dq_ref, acc_ref = rest
+        dsc_ref = dsc_acc = None
     j = pl.program_id(2)
     i = pl.program_id(1)
+    h = pl.program_id(0)
 
     @pl.when(j == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        if need_dscale:
+            dsc_acc[:] = jnp.zeros_like(dsc_acc)
 
     @pl.when(j < jcount_ref[i])
     def _compute():
@@ -613,24 +757,41 @@ def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, q_ref, k_ref, v_ref,
         do = do_ref[0]
         lse_row = lse_ref[0]        # [BM, 1]
         delta_row = delta_ref[0]    # [BM, 1]
-        _, ds = _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row,
-                          mask_ref[:], true_d, bf16)
-        acc_ref[:] = acc_ref[:] + _dscore_chain_dq(metric, ds, q, k,
-                                                   true_d, bf16)
+        scale = scale_ref[h]
+        keep = None
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref[0], h, i * block_m,
+                              jlist_ref[i, j] * block_n, block_m, block_n,
+                              _keep_thresh(dropout_rate))
+        p, ds, s, sq, qk = _bwd_block(
+            metric, q, k, v, do, lse_row, delta_row, mask_ref[:], true_d,
+            scale, bf16, keep, 1.0 / (1.0 - dropout_rate))
+        acc_ref[:] = acc_ref[:] + _chain_dq(metric, ds, s, sq, qk, q, k,
+                                            scale, true_d, bf16)
+        if need_dscale:
+            # gaussian: ds/dsigma = s*sq/sigma^3 ; rbf: ds/dgamma = -sq*s
+            common = jnp.sum(ds * s * sq)
+            factor = 1.0 / (scale * scale * scale) \
+                if metric == "gaussian_kernel" else -1.0
+            dsc_acc[:] = dsc_acc[:] + common * factor
 
     @pl.when(j == n_j - 1)
     def _fin():
         dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+        if need_dscale:
+            dsc_ref[:] = dsc_acc[:]
 
 
-def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, q_ref, k_ref, v_ref,
-                          mask_ref, do_ref, lse_ref, delta_ref,
-                          dk_ref, dv_ref, dk_acc, dv_acc, *,
-                          metric, n_i, true_d, bf16):
+def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seed_ref,
+                          q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                          metric, n_i, true_d, bf16, dropout_rate,
+                          block_m, block_n):
     """dk/dv accumulation over a compacted walk of occupied *query*
     blocks (the transposed plan)."""
     i = pl.program_id(2)
     j = pl.program_id(1)
+    h = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
@@ -645,11 +806,23 @@ def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, q_ref, k_ref, v_ref,
         do = do_ref[0]
         lse_row = lse_ref[0]        # [BM, 1]
         delta_row = delta_ref[0]    # [BM, 1]
-        p, ds = _bwd_p_ds(metric, q, k, v, do, lse_row, delta_row,
-                          mask_ref[:], true_d, bf16)
-        dv_acc[:] = dv_acc[:] + _dot(p.T, do, bf16)
-        dk_acc[:] = dk_acc[:] + _dscore_chain_dk(metric, ds, q, k, true_d,
-                                                 bf16)
+        scale = scale_ref[h]
+        keep = None
+        keep_inv = 1.0 / (1.0 - dropout_rate)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref[0], h, ilist_ref[j, i] * block_m,
+                              j * block_n, block_m, block_n,
+                              _keep_thresh(dropout_rate))
+        p, ds, s, sq, qk = _bwd_block(
+            metric, q, k, v, do, lse_row, delta_row, mask_ref[:], true_d,
+            scale, bf16, keep, keep_inv)
+        if keep is not None:
+            p_v = jnp.where(keep, p * keep_inv, 0.0)
+        else:
+            p_v = p
+        dv_acc[:] = dv_acc[:] + _dot(p_v.T, do, bf16)
+        dk_acc[:] = dk_acc[:] + _chain_dk(metric, ds, s, sq, qk, q, k,
+                                          scale, true_d, bf16)
 
     @pl.when(i == n_i - 1)
     def _fin():
@@ -660,11 +833,16 @@ def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, q_ref, k_ref, v_ref,
 def flash_geometric_attention_bwd(
     q, k, v, mask, out, lse, do,
     metric: str = "scaled_dot_product",
+    scale: Optional[jax.Array] = None,
     block_m: int = 512, block_n: int = 1024, bf16: bool = False,
     plan=None, plan_t=None,
+    seed: Optional[jax.Array] = None, dropout_rate: float = 0.0,
+    need_dscale: bool = False,
 ):
-    """Pallas flash backward: (dq, dk, dv) without materializing [N, N]
-    scores in HBM. Supports the cross-term metrics in BWD_METRICS.
+    """Pallas flash backward: (dq, dk, dv[, dscale]) without
+    materializing [N, N] scores in HBM — every MXU metric. For the
+    cosine metrics, q/k must already be L2-normalized (the caller pulls
+    the normalization chain back — see `_flash_diff_bwd`).
     `plan`/`plan_t` reuse the forward's block-sparsity plans (possibly
     pre-shrunk — the walk extent is each plan's width)."""
     if metric not in BWD_METRICS:
@@ -673,6 +851,11 @@ def flash_geometric_attention_bwd(
     Dv = v.shape[-1]
     Np = _round_up(N, max(block_m, block_n))
     Dp = _round_up(max(D, Dv), 128)
+    if scale is None:
+        scale = jnp.ones((H,), jnp.float32)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
     if Np != N or Dp != D or Dp != Dv:
         padqk = ((0, 0), (0, Np - N), (0, Dp - D))
         padv = ((0, 0), (0, Np - N), (0, Dp - Dv))
@@ -691,6 +874,7 @@ def flash_geometric_attention_bwd(
     n_j = Np // block_n
     lse_i = lse[..., None]        # (H, Np, 1)
     delta_i = delta[..., None]
+    scale = scale.astype(jnp.float32)
 
     # block-sparsity plans: forward plan drives dq's key walk, the
     # transposed plan drives dk/dv's query walk
@@ -707,20 +891,33 @@ def flash_geometric_attention_bwd(
     jcount = jnp.minimum(jcount, n_walk_j)
     icount = jnp.minimum(icount, n_walk_i)
 
+    dq_out_specs = pl.BlockSpec((1, block_m, Dp),
+                                lambda h, i, j, *_: (h, i, 0),
+                                memory_space=pltpu.VMEM)
+    dq_out_shape = jax.ShapeDtypeStruct((H, Np, Dp), q.dtype)
+    dq_scratch = [pltpu.VMEM((block_m, Dp), jnp.float32)]
+    if need_dscale:
+        dq_out_specs = (dq_out_specs,
+                        pl.BlockSpec((1, 1), lambda h, i, j, *_: (h, i),
+                                     memory_space=pltpu.VMEM))
+        dq_out_shape = (dq_out_shape,
+                        jax.ShapeDtypeStruct((H, n_i), jnp.float32))
+        dq_scratch.append(pltpu.VMEM((1, 1), jnp.float32))
+
     dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(H, n_i, n_walk_j),
         in_specs=[
             pl.BlockSpec((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n, Dp),
-                         lambda h, i, j, jl, jc: (h, jl[i, j], 0),
+                         lambda h, i, j, jl, jc, sc, sd: (h, jl[i, j], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n, Dp),
-                         lambda h, i, j, jl, jc: (h, jl[i, j], 0),
+                         lambda h, i, j, jl, jc, sc, sd: (h, jl[i, j], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_m, block_n),
-                         lambda h, i, j, jl, jc: (i, jl[i, j]),
+                         lambda h, i, j, jl, jc, sc, sd: (i, jl[i, j]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0),
                          memory_space=pltpu.VMEM),
@@ -729,40 +926,46 @@ def flash_geometric_attention_bwd(
             pl.BlockSpec((1, block_m, 1), lambda h, i, j, *_: (h, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_m, Dp),
-                               lambda h, i, j, *_: (h, i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((block_m, Dp), jnp.float32)],
+        out_specs=dq_out_specs,
+        scratch_shapes=dq_scratch,
     )
-    dq = pl.pallas_call(
+    dq_res = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, metric=metric,
-                          n_j=n_walk_j, true_d=D, bf16=bf16),
+                          n_j=n_walk_j, true_d=D, bf16=bf16,
+                          dropout_rate=dropout_rate, block_m=block_m,
+                          block_n=block_n, need_dscale=need_dscale),
         grid_spec=dq_spec,
-        out_shape=jax.ShapeDtypeStruct((H, Np, Dp), q.dtype),
-    )(jlist, jcount, q, k, v, mask, do, lse_i, delta_i)
+        out_shape=dq_out_shape,
+    )(jlist, jcount, scale, seed, q, k, v, mask, do, lse_i, delta_i)
+    if need_dscale:
+        dq, dsc = dq_res
+        dscale = jnp.sum(dsc, axis=1)          # [H]
+    else:
+        dq = dq_res
+        dscale = None
 
     dkv_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(H, n_j, n_walk_i),
         in_specs=[
             pl.BlockSpec((1, block_m, Dp),
-                         lambda h, j, i, il, ic: (h, il[j, i], 0),
+                         lambda h, j, i, il, ic, sc, sd: (h, il[j, i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_m, block_n),
-                         lambda h, j, i, il, ic: (il[j, i], j),
+                         lambda h, j, i, il, ic, sc, sd: (il[j, i], j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_m, Dp),
-                         lambda h, j, i, il, ic: (h, il[j, i], 0),
+                         lambda h, j, i, il, ic, sc, sd: (h, il[j, i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_m, 1),
-                         lambda h, j, i, il, ic: (h, il[j, i], 0),
+                         lambda h, j, i, il, ic, sc, sd: (h, il[j, i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_m, 1),
-                         lambda h, j, i, il, ic: (h, il[j, i], 0),
+                         lambda h, j, i, il, ic, sc, sd: (h, il[j, i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -776,10 +979,14 @@ def flash_geometric_attention_bwd(
     )
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, metric=metric,
-                          n_i=n_walk_i, true_d=D, bf16=bf16),
+                          n_i=n_walk_i, true_d=D, bf16=bf16,
+                          dropout_rate=dropout_rate, block_m=block_m,
+                          block_n=block_n),
         grid_spec=dkv_spec,
         out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), k.dtype),
                    jax.ShapeDtypeStruct((H, Np, Dp), v.dtype)),
-    )(ilist, icount, q, k, v, mask, do, lse_i, delta_i)
+    )(ilist, icount, scale, seed, q, k, v, mask, do, lse_i, delta_i)
 
+    if need_dscale:
+        return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv], dscale
     return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv]

@@ -89,12 +89,40 @@ def edge_attention(
     num_nodes: int,
     *,
     sigma=None, gamma=None, cov_inv=None,
+    edge_bias: Optional[jax.Array] = None,       # [E] or [H, E]
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full sparse attention: SDDMM -> segment softmax -> SpMM.
-    Returns [H, N, D] aggregated context per query node."""
+    Returns [H, N, D] aggregated context per query node.
+
+    ``edge_bias`` implements the dense path's geometric-bias re-softmax
+    (geometric_attention.py:567-575, mask-restricted like
+    nn.geometric.GeometricAttention) in O(E): the softmaxed weights get
+    the per-edge bias added and are re-normalized per query segment.
+    ``dropout_rate`` applies inverted dropout to the normalized edge
+    weights (the reference's softmax-weight dropout, :474-516) — after
+    the first softmax and, when biased, again after the re-softmax,
+    matching the dense path's op order exactly."""
+    import jax as _jax
+
+    def _drop(w, rng):
+        keep = 1.0 - dropout_rate
+        m = _jax.random.bernoulli(rng, keep, w.shape)
+        return jnp.where(m, w / keep, 0.0)
+
     scores = sddmm(metric, q, k, edge_q, edge_k, sigma=sigma, gamma=gamma,
                    cov_inv=cov_inv)
     w = segment_softmax(scores, edge_q, edge_mask, num_nodes)
+    r1 = r2 = None
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        r1, r2 = _jax.random.split(dropout_rng)
+        w = _drop(w, r1)
+    if edge_bias is not None:
+        b = edge_bias if edge_bias.ndim == 2 else edge_bias[None, :]
+        w = segment_softmax(w + b, edge_q, edge_mask, num_nodes)
+        if r2 is not None:
+            w = _drop(w, r2)
     return spmm(w, v, edge_q, edge_k, num_nodes)
 
 

@@ -259,3 +259,122 @@ def test_flash_learnable_scale_grads(metric):
                                np.asarray(gd["distance_param"]),
                                rtol=2e-3, atol=2e-3)
     assert float(jnp.sum(jnp.abs(gf["distance_param"]))) > 0
+
+
+# ---------------------------------------------------------------------------
+# In-kernel attention dropout
+# ---------------------------------------------------------------------------
+
+def _dropout_oracle(metric, q, k, v, adj, rate, seed, scale=None):
+    """Dense twin of the kernel's dropout: regenerate the hash keep mask
+    for the full matrix (it depends only on global coordinates) and drop
+    the normalized weights."""
+    H, N, _ = q.shape
+    Np = FG._round_up(N, 32)
+    sig = scale if metric == "gaussian_kernel" else None
+    gam = scale if metric == "rbf_kernel" else None
+    w = masked_softmax(D.pairwise_scores(metric, q, k, sigma=sig,
+                                         gamma=gam), adj[None])
+    thresh = FG._keep_thresh(rate)
+    keep = jnp.stack([
+        FG._keep_mask(jnp.int32(seed), jnp.int32(h), 0, 0, Np, Np,
+                      thresh)[:N, :N] for h in range(H)])
+    w = jnp.where(keep, w / (1.0 - rate), 0.0)
+    return jnp.einsum("hij,hjd->hid", w, v)
+
+
+@pytest.mark.parametrize("metric", ["scaled_dot_product", "euclidean",
+                                    "cosine_similarity"])
+def test_flash_dropout_matches_hash_oracle(metric):
+    """Forward with in-kernel dropout == dense attention dropped with
+    the same (regenerated) keep mask."""
+    q, k, v, adj = _data(N=70, H=2, Dh=16, seed=13)
+    rate, seed = 0.4, 1234
+    got = FG.flash_geometric_attention.__wrapped__(
+        q, k, v, adj, metric=metric, block_m=32, block_n=32,
+        dropout_rate=rate, dropout_seed=jnp.asarray([seed], jnp.int32))
+    want = _dropout_oracle(metric, q, k, v, adj, rate, seed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # dropout actually dropped something (outputs differ from no-drop)
+    nodrop = FG.flash_geometric_attention.__wrapped__(
+        q, k, v, adj, metric=metric, block_m=32, block_n=32)
+    assert not np.allclose(np.asarray(got), np.asarray(nodrop),
+                           atol=1e-3)
+
+
+@pytest.mark.parametrize("metric", ["scaled_dot_product",
+                                    "squared_euclidean",
+                                    "cosine_distance"])
+def test_flash_dropout_backward_matches_hash_oracle(metric):
+    """The backward kernels regenerate the identical keep mask from
+    global coordinates (incl. the transposed dk/dv walk): grads match
+    XLA autodiff of the same-mask dense oracle."""
+    q, k, v, adj = _data(N=70, H=2, Dh=16, seed=14)
+    rate, seed = 0.3, 77
+
+    def loss_flash(q, k, v):
+        out = FG.flash_geometric_attention.__wrapped__(
+            q, k, v, adj, metric=metric, block_m=32, block_n=32,
+            dropout_rate=rate,
+            dropout_seed=jnp.asarray([seed], jnp.int32))
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_dropout_oracle(metric, q, k, v, adj, rate,
+                                       seed) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, n in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"{metric} d{n}")
+
+
+def test_flash_dropout_scaled_metric_grads():
+    """Dropout composes with the learnable-scale (dsigma in-kernel)
+    path."""
+    q, k, v, adj = _data(N=64, H=2, Dh=16, seed=15)
+    rate, seed = 0.25, 5
+    scale = jnp.asarray([0.8, 1.3])
+
+    def loss_flash(q, k, v, s):
+        out = FG.flash_geometric_attention.__wrapped__(
+            q, k, v, adj, metric="gaussian_kernel", scale_param=s,
+            block_m=32, block_n=32, dropout_rate=rate,
+            dropout_seed=jnp.asarray([seed], jnp.int32))
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v, s):
+        return jnp.sum(_dropout_oracle("gaussian_kernel", q, k, v, adj,
+                                       rate, seed, scale=s) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, scale)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, scale)
+    for a, b, n in zip(g1, g2, ["q", "k", "v", "scale"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"d{n}")
+
+
+def test_flash_dropout_statistics():
+    """Keep fraction ~= 1-rate; expectation preserved over seeds."""
+    q, k, v, adj = _data(N=64, H=2, Dh=16, seed=16)
+    rate = 0.5
+    nodrop = FG.flash_geometric_attention.__wrapped__(
+        q, k, v, adj, metric="scaled_dot_product", block_m=32, block_n=32)
+    acc = np.zeros_like(np.asarray(nodrop))
+    S = 24
+    for s in range(S):
+        acc += np.asarray(FG.flash_geometric_attention.__wrapped__(
+            q, k, v, adj, metric="scaled_dot_product", block_m=32,
+            block_n=32, dropout_rate=rate,
+            dropout_seed=jnp.asarray([s], jnp.int32)))
+    mean = acc / S
+    # E[dropout(out)] == out; loose tolerance for S=24 seeds
+    err = np.abs(mean - np.asarray(nodrop))
+    assert np.median(err / (np.abs(np.asarray(nodrop)) + 0.1)) < 0.25
+    # raw keep-bit statistics
+    bits = np.asarray(FG._keep_mask(jnp.int32(3), jnp.int32(0), 0, 0,
+                                    256, 256, FG._keep_thresh(rate)))
+    assert abs(bits.mean() - 0.5) < 0.02
