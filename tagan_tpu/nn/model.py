@@ -163,10 +163,18 @@ class TAGAN:
         x = M.linear(p["node_embedding"], seq.x)       # [T, N, hidden]
         skip = x
 
+        want_edge_bias = (c.use_edge_features and c.edge_feature_dim > 0
+                          and "edge_embedding" in p)
+        ga = self.graph_attention
+        use_flash = (c.spatial_backend == "flash" and not return_weights
+                     and not want_edge_bias)
+        use_csr = (c.spatial_backend == "csr" and not return_weights)
+        first_weights = None
+
         edge_feats = None
-        if c.use_edge_features and c.edge_feature_dim > 0 \
-                and "edge_embedding" in p:
+        if want_edge_bias and not use_csr:
             # dense [T, N, N, hidden] bias source from embedded edge_attr
+            # (dense backend only — csr keeps the bias per-edge, O(E))
             ea = M.linear(p["edge_embedding"], seq.edge_attr)  # [T, E, H]
             T, N = seq.x.shape[0], seq.x.shape[1]
             dense = jnp.zeros((T, N, N, c.hidden_dim), ea.dtype)
@@ -175,13 +183,6 @@ class TAGAN:
                 ea * seq.edge_mask[..., None])
             edge_feats = dense
 
-        ga = self.graph_attention
-        use_flash = (c.spatial_backend == "flash" and not return_weights
-                     and edge_feats is None)
-        use_csr = (c.spatial_backend == "csr" and not return_weights
-                   and edge_feats is None)
-        first_weights = None
-
         if use_flash or use_csr:
             # Sparse backends build masks/edge structure per snapshot
             # inside a sequential lax.map, so the *working set* is
@@ -189,15 +190,24 @@ class TAGAN:
             # the packed [T, N, N] adjacency is additionally resident in
             # HBM (it feeds the faster fused structure build below);
             # build with dense_adj=False when that tensor doesn't fit.
-            # These paths run without attention dropout (the fused
-            # kernel never materializes weights).
+            # Attention dropout runs inside the fused kernel (hash-PRNG
+            # keep mask) / on the per-edge weights (csr); edge-feature
+            # bias rides the csr path per-edge (flash still falls back
+            # to dense when edges carry features).
             N = seq.x.shape[1]
+            train = (not deterministic and rng is not None
+                     and c.dropout > 0.0)
+            if train:
+                rng, r = jax.random.split(rng)
+                step_rngs = jax.random.split(r, x.shape[0])   # [T] keys
+            else:
+                step_rngs = None
 
             def _layers(xx, attend):
                 sk = xx
                 for i in range(c.num_layers):
                     lp = p["geometric_layers"][f"layer_{i}"]
-                    xx = attend(lp["attn"], xx)
+                    xx = attend(lp, xx, i)
                     if i == 0:
                         if c.use_layer_norm:
                             xx = xx + M.layer_norm(p["skip_layer_norm"],
@@ -246,30 +256,71 @@ class TAGAN:
                     return mask, plan, plan_t
 
                 def one_step(args):
-                    xt, eq, ek, em, nm, adj_t = args
+                    xt, eq, ek, em, nm, adj_t, rt = args
                     mask, plan, plan_t = _mask_and_plans(eq, ek, em, nm,
                                                          adj_t)
-                    return _layers(xt, lambda lp, xx: ga.inner.apply_flash(
-                        lp, xx, mask, deterministic=True,
-                        bf16=c.bf16_matmul, block_m=BM, block_n=BN,
-                        plan=plan, plan_t=plan_t))
+
+                    def attend(lp, xx, i):
+                        ri = None if rt is None else jax.random.fold_in(
+                            rt, i)
+                        return ga.inner.apply_flash(
+                            lp["attn"], xx, mask,
+                            deterministic=ri is None, rng=ri,
+                            bf16=c.bf16_matmul, block_m=BM, block_n=BN,
+                            plan=plan, plan_t=plan_t)
+
+                    return _layers(xt, attend)
             else:
                 from ..ops.sparse import add_self_loops
+                ea_bias = None
+                if want_edge_bias:
+                    # per-edge embedded features, projected per layer to
+                    # the scalar bias of the dense path's re-softmax —
+                    # never a dense [T, N, N, hidden] tensor
+                    ea_bias = M.linear(p["edge_embedding"], seq.edge_attr)
 
                 def one_step(args):
-                    xt, eq, ek, em, nm, _adj_t = args
+                    xt, eq, ek, em, nm, _adj_t, rt, ea_t = args
                     eq2, ek2, em2 = add_self_loops(eq, ek, em, nm)
-                    return _layers(xt, lambda lp, xx: ga.inner.apply_sparse(
-                        lp, xx, eq2, ek2, em2, nm, deterministic=True))
+
+                    def attend(lp, xx, i):
+                        eb = None
+                        if ea_t is not None and "edge_bias" in lp:
+                            b = M.linear(lp["edge_bias"], ea_t)[..., 0]
+                            b = jnp.where(em, b, 0.0)
+                            # appended self-loop slots carry zero bias,
+                            # matching the dense scatter (no explicit
+                            # self edge -> bias 0 on the diagonal)
+                            eb = jnp.concatenate(
+                                [b, jnp.zeros((N,), b.dtype)])
+                        ri = None if rt is None else jax.random.fold_in(
+                            rt, i)
+                        return ga.inner.apply_sparse(
+                            lp["attn"], xx, eq2, ek2, em2, nm,
+                            deterministic=ri is None, rng=ri,
+                            edge_bias=eb)
+
+                    return _layers(xt, attend)
 
             # csr is always rematerialized: its per-edge gather/segment
             # residuals are cheap to recompute but (unremat'd) blow past
             # the TPU compiler's temp budget at 10K+ nodes
             if c.remat or use_csr:
                 one_step = jax.checkpoint(one_step)
-            x = jax.lax.map(one_step, (x, seq.edge_src, seq.edge_dst,
-                                       seq.edge_mask, seq.node_mask,
-                                       seq.adj))
+            args = [x, seq.edge_src, seq.edge_dst, seq.edge_mask,
+                    seq.node_mask, seq.adj, step_rngs]
+            if not use_flash:
+                args.append(ea_bias)
+            # lax.map can't carry None leaves: close over absent extras
+            present = [a is not None for a in args]
+            packed = tuple(a for a in args if a is not None)
+
+            def step(packed_args):
+                it = iter(packed_args)
+                full = [next(it) if ok else None for ok in present]
+                return one_step(tuple(full))
+
+            x = jax.lax.map(step, packed)
             return (x, None) if return_weights else x
 
         adj = seq.attention_mask()                     # bool [T, N, N]
