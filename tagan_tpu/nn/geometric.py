@@ -181,6 +181,7 @@ class GeometricAttention:
         plan=None,
         plan_t=None,
         max_blocks_per_col: Optional[int] = None,
+        bias: Optional[jax.Array] = None,   # [N, N] or [T, N, N]
     ) -> jax.Array:
         """Same semantics as the dense path but through the fused Pallas
         flash kernel (ops.pallas.flash_geometric) — the [N, N] score
@@ -188,7 +189,10 @@ class GeometricAttention:
         the kernel (hash-PRNG keep mask regenerated by the backward
         kernels); output dropout applies outside as usual.
         ``plan``/``plan_t`` share one precomputed block-sparsity plan
-        across layers (see ops.pallas.flash_geometric.make_block_plan)."""
+        across layers (see ops.pallas.flash_geometric.make_block_plan).
+        ``bias`` is the head-shared additive re-softmax bias of the
+        dense path (geometric_attention.py:567-575), served by the
+        kernel's edge-biased variant."""
         from ..ops.pallas.flash_geometric import (MXU_METRICS,
                                                   flash_geometric_attention)
         sigma, gamma, _ = self._metric_params(p)
@@ -196,8 +200,8 @@ class GeometricAttention:
         metric = self.distance_metric
         if metric not in MXU_METRICS and metric != "mahalanobis":
             # manhattan is not blockwise-MXU expressible
-            return self(p, x, attention_mask, deterministic=deterministic,
-                        rng=rng)
+            return self(p, x, attention_mask, geometric_bias=bias,
+                        deterministic=deterministic, rng=rng)
         att_rate = 0.0
         att_seed = None
         if not deterministic and rng is not None and self.dropout > 0.0:
@@ -223,27 +227,32 @@ class GeometricAttention:
                 q = jnp.einsum("...hnd,hrd->...hnr", q, f)
                 k = jnp.einsum("...hnd,hrd->...hnr", k, f)
 
-        def one(qh, kh, vh, mh, sd=att_seed, pln=plan, pln_t=plan_t):
+        def one(qh, kh, vh, mh, sd=att_seed, bh=bias, pln=plan,
+                pln_t=plan_t):
             return flash_geometric_attention(
                 qh, kh, vh, mh, metric=metric,
                 scale_param=scale, block_m=block_m, block_n=block_n,
                 bf16=bf16, max_blocks_per_row=max_blocks_per_row,
                 plan=pln, plan_t=pln_t,
                 max_blocks_per_col=max_blocks_per_col,
-                dropout_rate=att_rate, dropout_seed=sd)
+                dropout_rate=att_rate, dropout_seed=sd, bias=bh)
 
         if x.ndim == 3:   # [T, N, hidden] snapshots
             seed_ax = None if att_seed is None else 0
+            bias_ax = None if bias is None else 0
             if plan is not None:
-                ctx = jax.vmap(one, in_axes=(0, 0, 0, 0, seed_ax, 0, 0)
-                               )(q, k, v, attention_mask, att_seed, plan,
-                                 plan_t)
+                ctx = jax.vmap(one,
+                               in_axes=(0, 0, 0, 0, seed_ax, bias_ax,
+                                        0, 0)
+                               )(q, k, v, attention_mask, att_seed, bias,
+                                 plan, plan_t)
             else:
                 ctx = jax.vmap(
-                    lambda qh, kh, vh, mh, sd: one(qh, kh, vh, mh, sd,
-                                                   None, None),
-                    in_axes=(0, 0, 0, 0, seed_ax),
-                )(q, k, v, attention_mask, att_seed)
+                    lambda qh, kh, vh, mh, sd, bh: one(qh, kh, vh, mh,
+                                                       sd, bh, None,
+                                                       None),
+                    in_axes=(0, 0, 0, 0, seed_ax, bias_ax),
+                )(q, k, v, attention_mask, att_seed, bias)
         else:
             sd0 = None if att_seed is None else att_seed[0]
             ctx = one(q, k, v, attention_mask, sd0)

@@ -166,13 +166,12 @@ class TAGAN:
         want_edge_bias = (c.use_edge_features and c.edge_feature_dim > 0
                           and "edge_embedding" in p)
         ga = self.graph_attention
-        use_flash = (c.spatial_backend == "flash" and not return_weights
-                     and not want_edge_bias)
+        use_flash = (c.spatial_backend == "flash" and not return_weights)
         use_csr = (c.spatial_backend == "csr" and not return_weights)
         first_weights = None
 
         edge_feats = None
-        if want_edge_bias and not use_csr:
+        if want_edge_bias and not (use_csr or use_flash):
             # dense [T, N, N, hidden] bias source from embedded edge_attr
             # (dense backend only — csr keeps the bias per-edge, O(E))
             ea = M.linear(p["edge_embedding"], seq.edge_attr)  # [T, E, H]
@@ -192,8 +191,9 @@ class TAGAN:
             # build with dense_adj=False when that tensor doesn't fit.
             # Attention dropout runs inside the fused kernel (hash-PRNG
             # keep mask) / on the per-edge weights (csr); edge-feature
-            # bias rides the csr path per-edge (flash still falls back
-            # to dense when edges carry features).
+            # bias rides the csr path per-edge and the flash path via
+            # the kernel's edge-biased variant (a per-snapshot [N, N]
+            # scalar bias scatter — never [T, N, N, hidden]).
             N = seq.x.shape[1]
             train = (not deterministic and rng is not None
                      and c.dropout > 0.0)
@@ -215,6 +215,13 @@ class TAGAN:
                         else:
                             xx = xx + sk
                 return xx
+
+            ea_bias = None
+            if want_edge_bias:
+                # per-edge embedded features, projected per layer to
+                # the scalar bias of the dense path's re-softmax —
+                # never a dense [T, N, N, hidden] tensor
+                ea_bias = M.linear(p["edge_embedding"], seq.edge_attr)
 
             if use_flash:
                 from ..ops.pallas.flash_geometric import (
@@ -256,28 +263,32 @@ class TAGAN:
                     return mask, plan, plan_t
 
                 def one_step(args):
-                    xt, eq, ek, em, nm, adj_t, rt = args
+                    xt, eq, ek, em, nm, adj_t, rt, ea_t = args
                     mask, plan, plan_t = _mask_and_plans(eq, ek, em, nm,
                                                          adj_t)
 
                     def attend(lp, xx, i):
+                        bias = None
+                        if ea_t is not None and "edge_bias" in lp:
+                            # per-layer scalar bias scattered to [N, N]
+                            # (matches the dense path's .add scatter);
+                            # the kernel reads it blockwise under the
+                            # same sparsity plan
+                            b = M.linear(lp["edge_bias"], ea_t)[..., 0]
+                            b = jnp.where(em, b, 0.0)
+                            bias = jnp.zeros((N, N), b.dtype).at[
+                                eq, ek].add(b)
                         ri = None if rt is None else jax.random.fold_in(
                             rt, i)
                         return ga.inner.apply_flash(
                             lp["attn"], xx, mask,
                             deterministic=ri is None, rng=ri,
                             bf16=c.bf16_matmul, block_m=BM, block_n=BN,
-                            plan=plan, plan_t=plan_t)
+                            plan=plan, plan_t=plan_t, bias=bias)
 
                     return _layers(xt, attend)
             else:
                 from ..ops.sparse import add_self_loops
-                ea_bias = None
-                if want_edge_bias:
-                    # per-edge embedded features, projected per layer to
-                    # the scalar bias of the dense path's re-softmax —
-                    # never a dense [T, N, N, hidden] tensor
-                    ea_bias = M.linear(p["edge_embedding"], seq.edge_attr)
 
                 def one_step(args):
                     xt, eq, ek, em, nm, _adj_t, rt, ea_t = args
@@ -308,9 +319,7 @@ class TAGAN:
             if c.remat or use_csr:
                 one_step = jax.checkpoint(one_step)
             args = [x, seq.edge_src, seq.edge_dst, seq.edge_mask,
-                    seq.node_mask, seq.adj, step_rngs]
-            if not use_flash:
-                args.append(ea_bias)
+                    seq.node_mask, seq.adj, step_rngs, ea_bias]
             # lax.map can't carry None leaves: close over absent extras
             present = [a is not None for a in args]
             packed = tuple(a for a in args if a is not None)

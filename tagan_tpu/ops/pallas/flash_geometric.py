@@ -490,6 +490,7 @@ def flash_geometric_attention(
     max_blocks_per_row: Optional[int] = None, plan=None,
     plan_t=None, max_blocks_per_col: Optional[int] = None,
     dropout_rate: float = 0.0, dropout_seed: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Differentiable entry point: Pallas kernels forward AND backward
     (custom_vjp) for every MXU metric, both walking precomputed
@@ -508,6 +509,12 @@ def flash_geometric_attention(
     ``dropout_rate`` > 0 with a ``dropout_seed`` (int32 scalar/[1])
     enables in-kernel attention-weight dropout (inverted, like the
     dense path); the backward regenerates the identical mask.
+
+    ``bias`` [N, N] switches to the edge-biased variant — the dense
+    path's re-softmax ``softmax(drop(softmax(s)) + B) @ v`` — with
+    Pallas kernels in both directions (2-walk forward, 3-walk
+    backward incl. dbias). With dropout, a second seed is derived from
+    ``dropout_seed`` for the post-re-softmax drop.
     """
     N = q.shape[1]
     Np = _round_up(N, max(block_m, block_n))
@@ -527,6 +534,22 @@ def flash_geometric_attention(
     ilist, icount = _shrink_plan(plan_t, max_blocks_per_col)
     if dropout_rate > 0.0 and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if bias is not None:
+        if dropout_seed is None:
+            seeds = jnp.zeros((2,), jnp.int32)
+        else:
+            s = jnp.asarray(dropout_seed, jnp.int32).reshape((-1,))
+            if s.shape[0] >= 2:
+                seeds = s[:2]
+            else:
+                # derive the post-re-softmax drop seed deterministically
+                seeds = jnp.concatenate(
+                    [s, s ^ jnp.asarray([0x5BD1E995], jnp.int32)])
+        scale = scale_param if scale_param is not None \
+            else jnp.ones((q.shape[0],), jnp.float32)
+        return _flash_diff_biased(q, k, v, scale, bias, mask, jlist,
+                                  jcount, ilist, icount, seeds, metric,
+                                  block_m, block_n, bf16, dropout_rate)
     seed = jnp.zeros((1,), jnp.int32) if dropout_seed is None \
         else jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
     if scale_param is not None:
@@ -535,6 +558,291 @@ def flash_geometric_attention(
                                   block_m, block_n, bf16, dropout_rate)
     return _flash_diff(q, k, v, mask, jlist, jcount, ilist, icount, seed,
                        metric, block_m, block_n, bf16, dropout_rate)
+
+
+# ---------------------------------------------------------------------------
+# Edge-biased variant: the dense path's geometric-bias re-softmax
+# (geometric_attention.py:567-575) computed blockwise —
+#     w1 = softmax(mask(s));  [drop1];  w2 = softmax(mask(w1 + B));
+#     [drop2];  out = w2 @ v
+# B is a per-pair scalar shared across heads (the model scatters the
+# per-edge projected bias into a dense [N, N] — O(N^2) HBM for the bias
+# itself, but the [H, N, N] score/weight tensors still never leave
+# VMEM). Forward = 2 walks (lse1 pass + biased streaming-softmax pass);
+# backward = 3 walks (combined delta1+dB walk with heads innermost,
+# dq+dscale walk, transposed dk/dv walk). Dropout after each softmax
+# uses two hash-PRNG seeds regenerated from coordinates, like the
+# unbiased kernel.
+# ---------------------------------------------------------------------------
+
+
+def _lse1_kernel(jlist_ref, jcount_ref, scale_ref, q_ref, k_ref, mask_ref,
+                 lse_ref, m_ref, l_ref, *, metric: str, n_j: int,
+                 true_d: int, bf16: bool):
+    """First-softmax logsumexp only (no PV matmul) — feeds the biased
+    main walk, which reconstructs w1 = exp(s - lse1) blockwise."""
+    j = pl.program_id(2)
+    i = pl.program_id(1)
+    h = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(j < jcount_ref[i])
+    def _compute():
+        s = _block_scores(metric, q_ref[0], k_ref[0], scale_ref[h],
+                          true_d, bf16)
+        s = jnp.where(mask_ref[:] != 0, s, NEG_INF)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        l_ref[:] = l_ref[:] * jnp.exp(m_prev - m_new) + \
+            jnp.sum(jnp.exp(s - m_new), axis=-1, keepdims=True)
+        m_ref[:] = m_new
+
+    @pl.when(j == n_j - 1)
+    def _fin():
+        dead = m_ref[:] <= NEG_INF
+        safe = jnp.where(dead, 1.0, l_ref[:])
+        lse_ref[0] = jnp.where(dead, LSE_DEAD, m_ref[:] + jnp.log(safe))
+
+
+def _w1_block(metric, q, k, mask, lse1_row, scale, true_d, bf16,
+              seeds_ref, h, row0, col0, bm, bn, dropout_rate):
+    """Recompute the (dropped) first-softmax weights for one block.
+    Returns (w1, w1d, s, sq, qk) — w1 pre-drop (for the softmax-1
+    backward), w1d post-drop (what the second softmax saw)."""
+    qk, sq = _qk_sq(metric, q, k, bf16)
+    s = _scores_from(metric, qk, sq, scale, true_d)
+    w1 = jnp.where(mask != 0, jnp.exp(s - lse1_row), 0.0)
+    if dropout_rate > 0.0:
+        keep1 = _keep_mask(seeds_ref[0], h, row0, col0, bm, bn,
+                           _keep_thresh(dropout_rate))
+        w1d = jnp.where(keep1, w1 * (1.0 / (1.0 - dropout_rate)), 0.0)
+    else:
+        w1d = w1
+    return w1, w1d, s, sq, qk
+
+
+def _flash_biased_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
+                         q_ref, k_ref, v_ref, mask_ref, bias_ref, lse1_ref,
+                         o_ref, lse2_ref, acc_ref, m_ref, l_ref, *,
+                         metric: str, n_j: int, true_d: int, bf16: bool,
+                         dropout_rate: float, block_m: int, block_n: int):
+    """Biased main walk: streaming softmax over z = drop1(w1) + B with
+    the same block-sparsity plan as the lse1 walk."""
+    j = pl.program_id(2)
+    i = pl.program_id(1)
+    h = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(j < jcount_ref[i])
+    def _compute():
+        mask = mask_ref[:]
+        row0 = i * block_m
+        col0 = jlist_ref[i, j] * block_n
+        _, w1d, _, _, _ = _w1_block(
+            metric, q_ref[0], k_ref[0], mask, lse1_ref[0], scale_ref[h],
+            true_d, bf16, seeds_ref, h, row0, col0, block_m, block_n,
+            dropout_rate)
+        z = jnp.where(mask != 0, w1d + bias_ref[:], NEG_INF)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(z, axis=-1, keepdims=True))
+        p2 = jnp.exp(z - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        # denominator uses the un-dropped sum (drop2 acts on the
+        # normalized weights)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p2, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep2 = _keep_mask(seeds_ref[1], h, row0, col0, block_m,
+                               block_n, _keep_thresh(dropout_rate))
+            p2 = jnp.where(keep2, p2 * (1.0 / (1.0 - dropout_rate)), 0.0)
+        acc_ref[:] = acc_ref[:] * alpha + _dot(p2, v_ref[0], bf16)
+        m_ref[:] = m_new
+
+    @pl.when(j == n_j - 1)
+    def _fin():
+        dead = m_ref[:] <= NEG_INF
+        safe = jnp.where(dead, 1.0, l_ref[:])
+        o_ref[0] = jnp.where(dead, 0.0,
+                             acc_ref[:] / safe).astype(o_ref.dtype)
+        lse2_ref[0] = jnp.where(dead, LSE_DEAD, m_ref[:] + jnp.log(safe))
+
+
+def _bwd_biased_common(metric, q, k, v, do, mask, bias, lse1_row,
+                       lse2_row, delta2_row, scale, true_d, bf16,
+                       seeds_ref, h, row0, col0, bm, bn, dropout_rate):
+    """Full backward recompute for one block: (w2d, dw1, w1, s, sq, qk)
+    where dw1 = dL/d(w1) (post softmax-1, pre drop-1 chain applied) —
+    i.e. ds = w1 * (dw1 - delta1_row) completes the softmax-1 vjp."""
+    w1, w1d, s, sq, qk = _w1_block(
+        metric, q, k, mask, lse1_row, scale, true_d, bf16, seeds_ref, h,
+        row0, col0, bm, bn, dropout_rate)
+    z = jnp.where(mask != 0, w1d + bias, NEG_INF)
+    w2 = jnp.exp(z - lse2_row)          # 0 on masked (z = -inf)
+    dp2 = _dot(do, v.T, bf16)
+    inv = 1.0 / (1.0 - dropout_rate)
+    if dropout_rate > 0.0:
+        keep2 = _keep_mask(seeds_ref[1], h, row0, col0, bm, bn,
+                           _keep_thresh(dropout_rate))
+        w2d = jnp.where(keep2, w2 * inv, 0.0)
+        dp2 = jnp.where(keep2, dp2 * inv, 0.0)
+    else:
+        w2d = w2
+    dz = w2 * (dp2 - delta2_row)
+    if dropout_rate > 0.0:
+        keep1 = _keep_mask(seeds_ref[0], h, row0, col0, bm, bn,
+                           _keep_thresh(dropout_rate))
+        dw1 = jnp.where(keep1, dz * inv, 0.0)
+    else:
+        dw1 = dz
+    return w2d, dz, dw1, w1, s, sq, qk
+
+
+def _biased_bwd_pre_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
+                           q_ref, k_ref, v_ref, mask_ref, bias_ref,
+                           do_ref, lse1_ref, lse2_ref, delta2_ref,
+                           delta1_ref, db_ref, d1_acc, db_acc, *,
+                           metric: str, n_j: int, n_h: int, true_d: int,
+                           bf16: bool, dropout_rate: float, block_m: int,
+                           block_n: int):
+    """Combined walk A — grid (n_i, n_j_walk, H), heads innermost:
+      delta1[row, h] = sum_j w1 ⊙ dw1   (softmax-1 vjp row term)
+      dB[i, j]      = sum_h dz          (bias is head-shared)
+    dB blocks at unoccupied (i, j) positions are never visited and hold
+    unspecified values — callers must only read positions covered by
+    real edges (which lie in occupied blocks by construction)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    h = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(j == 0, h == 0))
+    def _init_row():
+        d1_acc[:] = jnp.zeros_like(d1_acc)
+
+    @pl.when(h == 0)
+    def _init_block():
+        db_acc[:] = jnp.zeros_like(db_acc)
+
+    @pl.when(j < jcount_ref[i])
+    def _compute():
+        row0 = i * block_m
+        col0 = jlist_ref[i, j] * block_n
+        _, dz, dw1, w1, _, _, _ = _bwd_biased_common(
+            metric, q_ref[0], k_ref[0], v_ref[0], do_ref[0], mask_ref[:],
+            bias_ref[:], lse1_ref[0], lse2_ref[0], delta2_ref[0],
+            scale_ref[h], true_d, bf16, seeds_ref, h, row0, col0,
+            block_m, block_n, dropout_rate)
+        db_acc[:] = db_acc[:] + dz
+        rowsum = jnp.sum(w1 * dw1, axis=-1, keepdims=True)   # [BM, 1]
+        hcol = jax.lax.broadcasted_iota(
+            jnp.int32, d1_acc.shape, 1) == h
+        d1_acc[:] = d1_acc[:] + jnp.where(hcol, rowsum, 0.0)
+
+        @pl.when(h == n_h - 1)
+        def _flush_db():
+            db_ref[:] = db_acc[:]
+
+    @pl.when(jnp.logical_and(j == n_j - 1, h == n_h - 1))
+    def _fin_row():
+        delta1_ref[:] = d1_acc[:]
+
+
+def _biased_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
+                          q_ref, k_ref, v_ref, mask_ref, bias_ref,
+                          do_ref, lse1_ref, lse2_ref, delta2_ref,
+                          delta1_ref, *rest, metric: str, n_j: int,
+                          true_d: int, bf16: bool, dropout_rate: float,
+                          block_m: int, block_n: int, need_dscale: bool):
+    """Walk B: dq (+ dscale) over the forward plan, consuming walk A's
+    delta1."""
+    if need_dscale:
+        dq_ref, dsc_ref, acc_ref, dsc_acc = rest
+    else:
+        dq_ref, acc_ref = rest
+        dsc_ref = dsc_acc = None
+    j = pl.program_id(2)
+    i = pl.program_id(1)
+    h = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        if need_dscale:
+            dsc_acc[:] = jnp.zeros_like(dsc_acc)
+
+    @pl.when(j < jcount_ref[i])
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        scale = scale_ref[h]
+        row0 = i * block_m
+        col0 = jlist_ref[i, j] * block_n
+        _, _, dw1, w1, s, sq, qk = _bwd_biased_common(
+            metric, q, k, v_ref[0], do_ref[0], mask_ref[:], bias_ref[:],
+            lse1_ref[0], lse2_ref[0], delta2_ref[0], scale, true_d,
+            bf16, seeds_ref, h, row0, col0, block_m, block_n,
+            dropout_rate)
+        ds = w1 * (dw1 - delta1_ref[:])          # [BM, BN]
+        acc_ref[:] = acc_ref[:] + _chain_dq(metric, ds, s, sq, qk, q, k,
+                                            scale, true_d, bf16)
+        if need_dscale:
+            common = jnp.sum(ds * s * sq)
+            factor = 1.0 / (scale * scale * scale) \
+                if metric == "gaussian_kernel" else -1.0
+            dsc_acc[:] = dsc_acc[:] + common * factor
+
+    @pl.when(j == n_j - 1)
+    def _fin():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+        if need_dscale:
+            dsc_ref[:] = dsc_acc[:]
+
+
+def _biased_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seeds_ref,
+                           q_ref, k_ref, v_ref, mask_ref, bias_ref,
+                           do_ref, lse1_ref, lse2_ref, delta2_ref,
+                           delta1_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                           metric: str, n_i: int, true_d: int, bf16: bool,
+                           dropout_rate: float, block_m: int,
+                           block_n: int):
+    """Walk C: dk/dv over the transposed plan."""
+    i = pl.program_id(2)
+    j = pl.program_id(1)
+    h = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    @pl.when(i < icount_ref[j])
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        scale = scale_ref[h]
+        row0 = ilist_ref[j, i] * block_m
+        col0 = j * block_n
+        w2d, _, dw1, w1, s, sq, qk = _bwd_biased_common(
+            metric, q, k, v_ref[0], do_ref[0], mask_ref[:], bias_ref[:],
+            lse1_ref[0], lse2_ref[0], delta2_ref[0], scale, true_d,
+            bf16, seeds_ref, h, row0, col0, block_m, block_n,
+            dropout_rate)
+        ds = w1 * (dw1 - delta1_ref[:])
+        dv_acc[:] = dv_acc[:] + _dot(w2d.T, do_ref[0], bf16)
+        dk_acc[:] = dk_acc[:] + _chain_dk(metric, ds, s, sq, qk, q, k,
+                                          scale, true_d, bf16)
+
+    @pl.when(i == n_i - 1)
+    def _fin():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _flash_forward(
@@ -990,3 +1298,300 @@ def flash_geometric_attention_bwd(
     if need_dscale:
         return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv], dscale
     return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv]
+
+
+# ---------------------------------------------------------------------------
+# Edge-biased host orchestration
+# ---------------------------------------------------------------------------
+
+def _pad_all(q, k, v, mask, block_m, block_n, extra_rowvecs=(),
+             extra_mats=()):
+    """Pad [H, N, D] operands + [N, N] mats to block multiples. Returns
+    (q, k, v, mask, mats, Np, Dp)."""
+    H, N, D = q.shape
+    Dv = v.shape[-1]
+    Np = _round_up(N, max(block_m, block_n))
+    Dp = _round_up(max(D, Dv), 128)
+    if Np != N or Dp != D or Dp != Dv:
+        q = jnp.pad(q, ((0, 0), (0, Np - N), (0, Dp - D)))
+        k = jnp.pad(k, ((0, 0), (0, Np - N), (0, Dp - D)))
+        v = jnp.pad(v, ((0, 0), (0, Np - N), (0, Dp - Dv)))
+        mask = jnp.pad(mask.astype(jnp.int8), ((0, Np - N), (0, Np - N)))
+        extra_mats = tuple(
+            jnp.pad(m.astype(jnp.float32), ((0, Np - N), (0, Np - N)))
+            for m in extra_mats)
+    else:
+        extra_mats = tuple(m.astype(jnp.float32) for m in extra_mats)
+    return q, k, v, mask.astype(jnp.int8), extra_mats, Np, Dp
+
+
+def _flash_biased_forward(
+    q, k, v, mask, bias,
+    metric: str = "scaled_dot_product",
+    scale_param: Optional[jax.Array] = None,
+    block_m: int = 512, block_n: int = 1024, bf16: bool = False,
+    plan=None, seeds: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0, return_lse: bool = False,
+):
+    """Two-walk biased forward. `bias` is the head-shared [N, N]
+    pre-re-softmax additive bias (only positions under the mask are
+    read). Returns out [H, N, Dv] (+ lse1, lse2 [H, N] residuals)."""
+    if metric not in MXU_METRICS:
+        raise NotImplementedError(metric)
+    H, N, D = q.shape
+    Dv = v.shape[-1]
+    if metric in _COSINE:
+        q = _l2_normalize(q)
+        k = _l2_normalize(k)
+    if scale_param is None:
+        scale_param = jnp.ones((H,), jnp.float32)
+    if seeds is None:
+        seeds = jnp.zeros((2,), jnp.int32)
+    seeds = jnp.asarray(seeds, jnp.int32).reshape((2,))
+    q, k, v, mask, (bias,), Np, Dp = _pad_all(q, k, v, mask, block_m,
+                                              block_n, extra_mats=(bias,))
+    n_i, n_j = Np // block_m, Np // block_n
+    if plan is None:
+        plan = make_block_plan.__wrapped__(mask, block_m, block_n,
+                                           n_pad=Np)
+    jlist, jcount = plan
+    n_walk = min(jlist.shape[1], n_j)
+    jlist = jlist[:, :n_walk]
+    jcount = jnp.minimum(jcount, n_walk).astype(jnp.int32)
+    grid = (H, n_i, n_walk)
+    scale32 = scale_param.astype(jnp.float32)
+
+    def _b(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    qspec = _b((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0))
+    kspec = _b((1, block_n, Dp),
+               lambda h, i, j, jl, *_: (h, jl[i, j], 0))
+    mspec = _b((block_m, block_n), lambda h, i, j, jl, *_: (i, jl[i, j]))
+    rowspec = _b((1, block_m, 1), lambda h, i, j, *_: (h, i, 0))
+
+    lse1 = pl.pallas_call(
+        functools.partial(_lse1_kernel, metric=metric, n_j=n_walk,
+                          true_d=D, bf16=bf16),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3, grid=grid,
+            in_specs=[qspec, kspec, mspec],
+            out_specs=rowspec,
+            scratch_shapes=[pltpu.VMEM((block_m, 1), jnp.float32),
+                            pltpu.VMEM((block_m, 1), jnp.float32)]),
+        out_shape=jax.ShapeDtypeStruct((H, Np, 1), jnp.float32),
+    )(jlist, jcount, scale32, q, k, mask)
+
+    out, lse2 = pl.pallas_call(
+        functools.partial(_flash_biased_kernel, metric=metric, n_j=n_walk,
+                          true_d=D, bf16=bf16, dropout_rate=dropout_rate,
+                          block_m=block_m, block_n=block_n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4, grid=grid,
+            in_specs=[qspec, kspec, kspec, mspec, mspec, rowspec],
+            out_specs=(qspec, rowspec),
+            scratch_shapes=[pltpu.VMEM((block_m, Dp), jnp.float32),
+                            pltpu.VMEM((block_m, 1), jnp.float32),
+                            pltpu.VMEM((block_m, 1), jnp.float32)]),
+        out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), q.dtype),
+                   jax.ShapeDtypeStruct((H, Np, 1), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * H * Np * Np * Dp,
+            bytes_accessed=4 * H * Np * Dp * 4 + 5 * Np * Np,
+            transcendentals=2 * H * Np * Np),
+    )(jlist, jcount, scale32, seeds, q, k, v, mask, bias, lse1)
+    if return_lse:
+        return out[:, :N, :Dv], lse1[:, :N, 0], lse2[:, :N, 0]
+    return out[:, :N, :Dv]
+
+
+def flash_biased_attention_bwd(
+    q, k, v, bias, mask, out, lse1, lse2, do,
+    metric: str = "scaled_dot_product",
+    scale: Optional[jax.Array] = None,
+    block_m: int = 512, block_n: int = 1024, bf16: bool = False,
+    plan=None, plan_t=None, seeds: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0, need_dscale: bool = False,
+):
+    """Three-walk biased backward: (dq, dk, dv, dbias[, dscale]).
+    `dbias` is dense [N, N]; blocks not covered by the sparsity plan are
+    UNSPECIFIED — only read it at positions covered by real edges (the
+    model gathers at edge coordinates, which lie in occupied blocks).
+    For cosine metrics q/k must already be L2-normalized."""
+    H, N, D = q.shape
+    Dv = v.shape[-1]
+    if scale is None:
+        scale = jnp.ones((H,), jnp.float32)
+    if seeds is None:
+        seeds = jnp.zeros((2,), jnp.int32)
+    seeds = jnp.asarray(seeds, jnp.int32).reshape((2,))
+    Np = _round_up(N, max(block_m, block_n))
+    Dp = _round_up(max(D, Dv), 128)
+    q, k, v, mask, (bias,), Np, Dp = _pad_all(q, k, v, mask, block_m,
+                                              block_n, extra_mats=(bias,))
+    if do.shape[-2] != Np or do.shape[-1] != Dp:
+        do = jnp.pad(do, ((0, 0), (0, Np - N), (0, Dp - Dv)))
+        out = jnp.pad(out, ((0, 0), (0, Np - N), (0, Dp - Dv)))
+        lse1 = jnp.pad(lse1, ((0, 0), (0, Np - N)),
+                       constant_values=LSE_DEAD)
+        lse2 = jnp.pad(lse2, ((0, 0), (0, Np - N)),
+                       constant_values=LSE_DEAD)
+    delta2 = jnp.sum(do * out, axis=-1)            # [H, Np]
+    lse1_i = lse1[..., None]
+    lse2_i = lse2[..., None]
+    delta2_i = delta2[..., None]
+    scale32 = scale.astype(jnp.float32)
+    n_i, n_j = Np // block_m, Np // block_n
+    if plan is None:
+        plan = make_block_plan.__wrapped__(mask, block_m, block_n,
+                                           n_pad=Np)
+    if plan_t is None:
+        plan_t = make_block_plan.__wrapped__(mask.T, block_n, block_m,
+                                             n_pad=Np)
+    jlist, jcount = plan
+    ilist, icount = plan_t
+    n_walk_j = min(jlist.shape[1], n_j)
+    n_walk_i = min(ilist.shape[1], n_i)
+    jcount = jnp.minimum(jcount, n_walk_j).astype(jnp.int32)
+    icount = jnp.minimum(icount, n_walk_i).astype(jnp.int32)
+
+    def _b(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    kw = dict(metric=metric, true_d=D, bf16=bf16,
+              dropout_rate=dropout_rate, block_m=block_m, block_n=block_n)
+
+    # --- walk A: delta1 + dB (grid (n_i, n_walk_j, H), heads innermost)
+    a_q = _b((1, block_m, Dp), lambda i, j, h, jl, *_: (h, i, 0))
+    a_k = _b((1, block_n, Dp), lambda i, j, h, jl, *_: (h, jl[i, j], 0))
+    a_m = _b((block_m, block_n), lambda i, j, h, jl, *_: (i, jl[i, j]))
+    a_row = _b((1, block_m, 1), lambda i, j, h, jl, *_: (h, i, 0))
+    delta1, dbias = pl.pallas_call(
+        functools.partial(_biased_bwd_pre_kernel, n_j=n_walk_j, n_h=H,
+                          **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4, grid=(n_i, n_walk_j, H),
+            in_specs=[a_q, a_k, a_k, a_m, a_m, a_q, a_row, a_row, a_row],
+            out_specs=(_b((block_m, H), lambda i, j, h, *_: (i, 0)),
+                       a_m),
+            scratch_shapes=[pltpu.VMEM((block_m, H), jnp.float32),
+                            pltpu.VMEM((block_m, block_n), jnp.float32)]),
+        out_shape=(jax.ShapeDtypeStruct((Np, H), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, Np), jnp.float32)),
+    )(jlist, jcount, scale32, seeds, q, k, v, mask, bias, do, lse1_i,
+      lse2_i, delta2_i)
+
+    # --- walk B: dq (+ dscale) (grid (H, n_i, n_walk_j))
+    b_q = _b((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0))
+    b_k = _b((1, block_n, Dp), lambda h, i, j, jl, *_: (h, jl[i, j], 0))
+    b_m = _b((block_m, block_n), lambda h, i, j, jl, *_: (i, jl[i, j]))
+    b_row = _b((1, block_m, 1), lambda h, i, j, *_: (h, i, 0))
+    b_d1 = _b((block_m, 1), lambda h, i, j, *_: (i, h))
+    out_specs = b_q
+    out_shape = jax.ShapeDtypeStruct((H, Np, Dp), q.dtype)
+    scratch = [pltpu.VMEM((block_m, Dp), jnp.float32)]
+    if need_dscale:
+        out_specs = (out_specs,
+                     _b((1, 1), lambda h, i, j, *_: (h, i)))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((H, n_i),
+                                                     jnp.float32))
+        scratch.append(pltpu.VMEM((1, 1), jnp.float32))
+    dq_res = pl.pallas_call(
+        functools.partial(_biased_bwd_dq_kernel, n_j=n_walk_j,
+                          need_dscale=need_dscale, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4, grid=(H, n_i, n_walk_j),
+            in_specs=[b_q, b_k, b_k, b_m, b_m, b_q, b_row, b_row, b_row,
+                      b_d1],
+            out_specs=out_specs, scratch_shapes=scratch),
+        out_shape=out_shape,
+    )(jlist, jcount, scale32, seeds, q, k, v, mask, bias, do, lse1_i,
+      lse2_i, delta2_i, delta1)
+    if need_dscale:
+        dq, dsc = dq_res
+        dscale = jnp.sum(dsc, axis=1)
+    else:
+        dq = dq_res
+        dscale = None
+
+    # --- walk C: dk/dv (grid (H, n_j, n_walk_i), transposed plan)
+    c_q = _b((1, block_m, Dp), lambda h, j, i, il, *_: (h, il[j, i], 0))
+    c_kv = _b((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0))
+    c_m = _b((block_m, block_n), lambda h, j, i, il, *_: (il[j, i], j))
+    c_row = _b((1, block_m, 1), lambda h, j, i, il, *_: (h, il[j, i], 0))
+    c_d1 = _b((block_m, 1), lambda h, j, i, il, *_: (il[j, i], h))
+    dk, dv = pl.pallas_call(
+        functools.partial(_biased_bwd_dkv_kernel, n_i=n_walk_i, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4, grid=(H, n_j, n_walk_i),
+            in_specs=[c_q, c_kv, c_kv, c_m, c_m, c_q, c_row, c_row,
+                      c_row, c_d1],
+            out_specs=(c_kv, c_kv),
+            scratch_shapes=[pltpu.VMEM((block_n, Dp), jnp.float32),
+                            pltpu.VMEM((block_n, Dp), jnp.float32)]),
+        out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), k.dtype),
+                   jax.ShapeDtypeStruct((H, Np, Dp), v.dtype)),
+    )(ilist, icount, scale32, seeds, q, k, v, mask, bias, do, lse1_i,
+      lse2_i, delta2_i, delta1)
+
+    res = (dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv],
+           dbias[:N, :N])
+    if need_dscale:
+        return res + (dscale,)
+    return res
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
+def _flash_diff_biased(q, k, v, scale, bias, mask, jlist, jcount, ilist,
+                       icount, seeds, metric, block_m, block_n, bf16,
+                       dropout_rate):
+    return _flash_biased_forward(q, k, v, mask, bias, metric=metric,
+                                 scale_param=scale, block_m=block_m,
+                                 block_n=block_n, bf16=bf16,
+                                 plan=(jlist, jcount), seeds=seeds,
+                                 dropout_rate=dropout_rate)
+
+
+def _flash_diff_biased_fwd(q, k, v, scale, bias, mask, jlist, jcount,
+                           ilist, icount, seeds, metric, block_m,
+                           block_n, bf16, dropout_rate):
+    out, lse1, lse2 = _flash_biased_forward(
+        q, k, v, mask, bias, metric=metric, scale_param=scale,
+        block_m=block_m, block_n=block_n, bf16=bf16,
+        plan=(jlist, jcount), seeds=seeds, dropout_rate=dropout_rate,
+        return_lse=True)
+    return out, (q, k, v, scale, bias, mask, out, lse1, lse2, jlist,
+                 jcount, ilist, icount, seeds)
+
+
+def _flash_diff_biased_bwd(metric, block_m, block_n, bf16, dropout_rate,
+                           res, g):
+    (q, k, v, scale, bias, mask, out, lse1, lse2, jlist, jcount, ilist,
+     icount, seeds) = res
+    need_dscale = metric in SCALED_METRICS
+    kw = dict(metric=metric, scale=scale, block_m=block_m,
+              block_n=block_n, bf16=bf16, plan=(jlist, jcount),
+              plan_t=(ilist, icount), seeds=seeds,
+              dropout_rate=dropout_rate, need_dscale=need_dscale)
+    if metric in _COSINE:
+        qn, vjp_q = jax.vjp(_l2_normalize, q)
+        kn, vjp_k = jax.vjp(_l2_normalize, k)
+        grads = flash_biased_attention_bwd(qn, kn, v, bias, mask, out,
+                                           lse1, lse2, g, **kw)
+        dq, = vjp_q(grads[0])
+        dk, = vjp_k(grads[1])
+        grads = (dq, dk) + grads[2:]
+    else:
+        grads = flash_biased_attention_bwd(q, k, v, bias, mask, out,
+                                           lse1, lse2, g, **kw)
+    if need_dscale:
+        dq, dk, dv, dbias, dscale = grads
+        dscale = dscale.astype(scale.dtype)
+    else:
+        dq, dk, dv, dbias = grads
+        dscale = jnp.zeros_like(scale)
+    return (dq, dk, dv, dscale, dbias, None, None, None, None, None,
+            None)
+
+
+_flash_diff_biased.defvjp(_flash_diff_biased_fwd, _flash_diff_biased_bwd)

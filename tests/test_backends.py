@@ -193,3 +193,40 @@ def test_sparse_backend_train_dropout(backend, monkeypatch):
     gn = sum(float(jnp.sum(jnp.abs(x)))
              for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_flash_edge_bias_matches_dense(monkeypatch):
+    """use_edge_features on the flash backend rides the kernel's
+    edge-biased variant (per-snapshot scalar [N, N] scatter, double
+    softmax in-kernel) and must match the dense model exactly."""
+    import functools
+    import jax.experimental.pallas as pl
+    from tagan_tpu.ops.pallas import flash_geometric as FG
+    monkeypatch.setattr(FG.pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    data = create_synthetic_data(num_samples=2, sequence_length=3,
+                                 num_nodes_range=(6, 9),
+                                 node_feature_dim=8, edge_feature_dim=4,
+                                 seed=5)
+    T, N, E, _ = tt.pad_dims_for([s for s, _ in data])
+    seqs = [tt.build_sequence(s, max_nodes=N, max_edges=max(E, 1),
+                              max_time=T) for s, _ in data]
+    base = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=2,
+                          node_feature_dim=8, edge_feature_dim=4,
+                          use_edge_features=True, output_dim=1,
+                          loss_type="bce", dropout=0.0)
+    dense_model = TAGAN(base)
+    flash_model = TAGAN(base.replace(spatial_backend="flash"))
+    params = dense_model.init(jax.random.key(0))
+    for seq in seqs:
+        d = jax.jit(lambda p, s: dense_model(p, s).logits)(params, seq)
+        f = jax.jit(lambda p, s: flash_model(p, s).logits)(params, seq)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(f),
+                                   rtol=2e-4, atol=2e-5)
+    # gradients flow to the edge-bias projection through the kernel
+    g = jax.jit(jax.grad(
+        lambda p, s: flash_model(p, s, jnp.asarray(1.0)).loss))(
+        params, seqs[0])
+    gb = g["geometric_layers"]["layer_0"]["edge_bias"]["w"]
+    assert float(jnp.sum(jnp.abs(gb))) > 0
+    assert np.all(np.isfinite(np.asarray(gb)))

@@ -378,3 +378,136 @@ def test_flash_dropout_statistics():
     bits = np.asarray(FG._keep_mask(jnp.int32(3), jnp.int32(0), 0, 0,
                                     256, 256, FG._keep_thresh(rate)))
     assert abs(bits.mean() - 0.5) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Edge-biased variant: softmax(drop(softmax(s)) + B) @ v
+# ---------------------------------------------------------------------------
+
+def _bias_data(N=70, H=2, Dh=16, seed=0):
+    q, k, v, adj = _data(N=N, H=H, Dh=Dh, seed=seed)
+    r = np.random.default_rng(seed + 1000)
+    B = jnp.asarray(np.where(np.asarray(adj),
+                             r.standard_normal((N, N)), 0.0), jnp.float32)
+    return q, k, v, adj, B
+
+
+def _bias_oracle(metric, q, k, v, adj, B, scale=None, rate=0.0,
+                 seed=None):
+    """Dense twin of the biased kernel: two masked softmaxes with the
+    regenerated hash keep masks between/after them."""
+    H, N, _ = q.shape
+    sig = scale if metric == "gaussian_kernel" else None
+    gam = scale if metric == "rbf_kernel" else None
+    w1 = masked_softmax(D.pairwise_scores(metric, q, k, sigma=sig,
+                                          gamma=gam), adj[None])
+    kp = None
+    if rate > 0.0:
+        Npad = FG._round_up(N, 32)
+        th = FG._keep_thresh(rate)
+        s2 = seed ^ 0x5BD1E995
+
+        def masks(s):
+            return jnp.stack([
+                FG._keep_mask(jnp.int32(s), jnp.int32(h), 0, 0, Npad,
+                              Npad, th)[:N, :N] for h in range(H)])
+        w1 = jnp.where(masks(seed), w1 / (1 - rate), 0.0)
+        kp = masks(s2)
+    w2 = masked_softmax(w1 + B[None], adj[None])
+    if rate > 0.0:
+        w2 = jnp.where(kp, w2 / (1 - rate), 0.0)
+    return jnp.einsum("hij,hjd->hid", w2, v)
+
+
+@pytest.mark.parametrize("metric", ["scaled_dot_product", "euclidean",
+                                    "cosine_similarity",
+                                    "squared_euclidean"])
+def test_flash_bias_matches_dense(metric):
+    """Biased forward (2-walk: lse1 pass + re-softmax pass) == the dense
+    path's double softmax."""
+    q, k, v, adj, B = _bias_data(seed=21)
+    got = FG.flash_geometric_attention.__wrapped__(
+        q, k, v, adj, metric=metric, block_m=32, block_n=32, bias=B)
+    want = _bias_oracle(metric, q, k, v, adj, B)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # bias actually shifts the output
+    plain = FG.flash_geometric_attention.__wrapped__(
+        q, k, v, adj, metric=metric, block_m=32, block_n=32)
+    assert not np.allclose(np.asarray(got), np.asarray(plain), atol=1e-3)
+
+
+@pytest.mark.parametrize("metric,scaled", [
+    ("scaled_dot_product", False), ("euclidean", False),
+    ("cosine_distance", False), ("gaussian_kernel", True),
+    ("rbf_kernel", True)])
+def test_flash_bias_grads(metric, scaled):
+    """3-walk biased backward (delta1+dB walk, dq walk, dk/dv walk):
+    all grads incl. dbias and dscale match XLA autodiff of the dense
+    twin. dbias compared at edge positions only (unoccupied blocks are
+    unspecified by contract)."""
+    q, k, v, adj, B = _bias_data(seed=22)
+    scale = jnp.asarray([0.8, 1.3]) if scaled else None
+
+    def lf(q, k, v, B, s):
+        return jnp.sum(FG.flash_geometric_attention.__wrapped__(
+            q, k, v, adj, metric=metric, scale_param=s, block_m=32,
+            block_n=32, bias=B) ** 2)
+
+    def lr(q, k, v, B, s):
+        return jnp.sum(_bias_oracle(metric, q, k, v, adj, B, s) ** 2)
+
+    args = (q, k, v, B, scale)
+    nums = (0, 1, 2, 3, 4) if scaled else (0, 1, 2, 3)
+    g1 = jax.grad(lf, argnums=nums)(*args)
+    g2 = jax.grad(lr, argnums=nums)(*args)
+    names = ["q", "k", "v", "B", "scale"]
+    m = np.asarray(adj)
+    for a, b, n in zip(g1, g2, names):
+        aa, bb = np.asarray(a), np.asarray(b)
+        if n == "B":
+            aa, bb = aa[m], bb[m]
+        np.testing.assert_allclose(aa, bb, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"{metric} d{n}")
+
+
+def test_flash_bias_dropout_matches_hash_oracle():
+    """Both dropout stages (post-softmax-1 with seed, post-re-softmax
+    with the derived second seed) regenerate identically in fwd and all
+    three bwd walks."""
+    q, k, v, adj, B = _bias_data(seed=23)
+    rate, seed = 0.35, 99
+
+    def lf(q, k, v, B):
+        return jnp.sum(FG.flash_geometric_attention.__wrapped__(
+            q, k, v, adj, metric="scaled_dot_product", block_m=32,
+            block_n=32, bias=B, dropout_rate=rate,
+            dropout_seed=jnp.asarray([seed], jnp.int32)) ** 2)
+
+    def lr(q, k, v, B):
+        return jnp.sum(_bias_oracle("scaled_dot_product", q, k, v, adj,
+                                    B, rate=rate, seed=seed) ** 2)
+
+    np.testing.assert_allclose(float(lf(q, k, v, B)),
+                               float(lr(q, k, v, B)), rtol=1e-4)
+    g1 = jax.grad(lf, argnums=(0, 1, 2, 3))(q, k, v, B)
+    g2 = jax.grad(lr, argnums=(0, 1, 2, 3))(q, k, v, B)
+    m = np.asarray(adj)
+    for a, b, n in zip(g1, g2, "qkvB"):
+        aa, bb = np.asarray(a), np.asarray(b)
+        if n == "B":
+            aa, bb = aa[m], bb[m]
+        np.testing.assert_allclose(aa, bb, rtol=3e-3, atol=3e-3,
+                                   err_msg=f"d{n}")
+
+
+def test_flash_bias_dead_rows_zero():
+    """Rows with no valid edges produce exactly zero through the biased
+    path too."""
+    q, k, v, adj, B = _bias_data(seed=24)
+    adj = np.array(adj)
+    adj[3] = False
+    adj = jnp.asarray(adj)
+    out = FG.flash_geometric_attention.__wrapped__(
+        q, k, v, adj, metric="euclidean", block_m=32, block_n=32, bias=B)
+    assert np.all(np.asarray(out)[:, 3] == 0.0)
