@@ -98,9 +98,12 @@ class TAGANConfig:
     max_nodes: int = 0          # 0 = infer from data at trace time
     max_edges: int = 0
     # Compute path for per-snapshot attention: "dense" (N x N mask, MXU),
-    # "flash" (fused Pallas kernel, scores never in HBM), or "csr"
+    # "flash" (fused Pallas kernel, scores never in HBM), "csr"
     # (gather/segment SpMM over the edge list — XLA, for very sparse
-    # graphs on small chips).
+    # graphs on small chips), or "ring" (edge-partitioned over the mesh
+    # graph axis with K/V circulating via ppermute — graphs larger than
+    # one chip's HBM; requires TAGAN(mesh=...) and sequences built with
+    # SnapshotSequence.with_ring_plan).
     spatial_backend: str = "dense"
     # Compat: "intended" runs the full propagation+memory pipeline
     # (SURVEY.md §7.4 Oracle B wiring); "executed" reproduces the
@@ -158,9 +161,9 @@ class TAGANConfig:
         if self.scale_fusion not in ("concat", "sum", "weighted_sum",
                                      "attention"):
             raise ValueError(f"unknown scale_fusion {self.scale_fusion}")
-        if self.spatial_backend not in ("dense", "csr", "flash"):
-            raise ValueError(
-                "spatial_backend must be 'dense', 'csr', or 'flash'")
+        if self.spatial_backend not in ("dense", "csr", "flash", "ring"):
+            raise ValueError("spatial_backend must be 'dense', 'csr', "
+                             "'flash', or 'ring'")
         if self.compat_mode not in ("intended", "executed"):
             raise ValueError("compat_mode must be 'intended' or 'executed'")
 

@@ -47,6 +47,12 @@ class SnapshotSequence:
     times      f32[T]              continuous timestamp per snapshot
     time_mask  bool[T]             snapshot validity (sequences shorter than T)
     node_ids   i32[N]              global node ID per slot (-1 = padding)
+
+    Optional ring-partition plan (set by `with_ring_plan`, consumed by
+    ``spatial_backend="ring"``): edges bucketed host-side by
+    (query-owner, key-owner) shard pair, self loops for active nodes
+    included — ring_eq/ring_ek i32[T, G, G, Ep], ring_em bool[T, G, G,
+    Ep].
     """
     x: jax.Array
     node_mask: jax.Array
@@ -58,6 +64,9 @@ class SnapshotSequence:
     times: jax.Array
     time_mask: jax.Array
     node_ids: jax.Array
+    ring_eq: Optional[jax.Array] = None
+    ring_ek: Optional[jax.Array] = None
+    ring_em: Optional[jax.Array] = None
 
     @property
     def num_steps(self) -> int:
@@ -102,6 +111,64 @@ class SnapshotSequence:
             m = jnp.logical_or(m, eye[None, :, :])
         pair = self.node_mask[:, :, None] & self.node_mask[:, None, :]
         return jnp.logical_and(m, pair)
+
+    @property
+    def ring_shards(self) -> int:
+        """Number of graph shards the ring plan was built for (0 when no
+        plan is attached)."""
+        return 0 if self.ring_eq is None else self.ring_eq.shape[1]
+
+    def with_ring_plan(self, num_shards: int,
+                       max_edges_per_bucket: Optional[int] = None
+                       ) -> "SnapshotSequence":
+        """Attach the host-side edge partition consumed by
+        ``spatial_backend="ring"``: per snapshot, bucket every valid
+        edge *plus a self loop for each active node* (the adapter's
+        self-loop add, graph_attention.py:102) by (query-owner,
+        key-owner) shard pair. Owners are contiguous slot ranges of
+        size N / num_shards.
+
+        Pass ``max_edges_per_bucket`` to fix Ep across sequences (so
+        batched sequences stack); it must upper-bound every bucket."""
+        from ..dist.edge_partition import partition_edges_by_query_and_key
+        N = self.max_nodes
+        if N % num_shards != 0:
+            raise ValueError(
+                f"max_nodes={N} not divisible by num_shards={num_shards}"
+                " — pad max_nodes to a shard multiple at build time")
+        eq_t, ek_t, em_t = [], [], []
+        src = np.asarray(self.edge_src)
+        dst = np.asarray(self.edge_dst)
+        em = np.asarray(self.edge_mask)
+        nm = np.asarray(self.node_mask)
+        diag = np.arange(N, dtype=src.dtype)
+        # two passes: a sizing pass picks one static Ep for all steps
+        per_t = []
+        for t in range(self.num_steps):
+            s = np.concatenate([src[t], diag])
+            d = np.concatenate([dst[t], diag])
+            m = np.concatenate([em[t], nm[t]])
+            per_t.append((s, d, m))
+        if max_edges_per_bucket is None:
+            ep = 1
+            for (s, d, m) in per_t:
+                per = N // num_shards
+                ids = (s // per) * num_shards + (d // per)
+                counts = np.bincount(ids[m], minlength=num_shards ** 2)
+                ep = max(ep, int(counts.max()) if counts.size else 1)
+            max_edges_per_bucket = ep
+        for (s, d, m) in per_t:
+            bq, bk, bm, _ = partition_edges_by_query_and_key(
+                s, d, m, N, num_shards,
+                max_edges_per_bucket=max_edges_per_bucket)
+            eq_t.append(bq)
+            ek_t.append(bk)
+            em_t.append(bm)
+        return dataclasses.replace(
+            self,
+            ring_eq=jnp.asarray(np.stack(eq_t)),
+            ring_ek=jnp.asarray(np.stack(ek_t)),
+            ring_em=jnp.asarray(np.stack(em_t)))
 
 
 # ---------------------------------------------------------------------------

@@ -164,37 +164,29 @@ def partition_edges_by_query_and_key(
     return out_q, out_k, out_m, Ep
 
 
-def ring_edge_attention(
-    mesh: Mesh,
-    metric: str,
-    q: jax.Array,            # [H, N, D]
-    k: jax.Array,            # [H, N, D]
-    v: jax.Array,            # [H, N, D]
-    edge_q: jax.Array,       # i32[G, G, Ep] from *_by_query_and_key
-    edge_k: jax.Array,
-    edge_mask: jax.Array,
-) -> jax.Array:
-    """Halo-overlapped edge attention: K/V shards circulate around the
-    ring (`ppermute` over ICI) while each chip folds the arriving chunk
-    into a streaming segment softmax for its local queries — no chip
-    ever holds the full K/V, and step s's communication overlaps step
-    s's compute in the XLA schedule.
+def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int):
+    """Build the shard_map'd ring-attention callable for use *inside*
+    jit (no device_put — operands are resharded by GSPMD as needed).
 
-    This is the collective-level formulation; `ops/pallas/ring_gather`
-    provides the same ring as a remote-DMA kernel for fusing the copy
-    into the kernel itself.
-    """
+    Returned signature:
+        fn(q, k, v, edge_q, edge_k, edge_mask, sigma, gamma, cov_inv)
+        -> [H, N, D] context (sharded over the graph axis by query owner)
+    where edge_* are the [G, G, Ep] buckets from
+    `partition_edges_by_query_and_key` and sigma/gamma/cov_inv are the
+    (replicated) learnable metric parameters ([H] / [H] / [H, Dh, Dh],
+    pass all-ones/zeros placeholders when unused — shard_map needs
+    concrete operands)."""
     from ..ops.distances import edgewise_scores
     from ..ops.masked import NEG_INF
 
-    H, N, D = q.shape
     g = mesh.shape[GRAPH_AXIS]
+    assert N % g == 0, (N, g)
     per = N // g
 
     node_spec = P(None, GRAPH_AXIS, None)
     edge_spec = P(GRAPH_AXIS, None, None)
 
-    def local(q_l, k_l, v_l, eq_l, ek_l, em_l):
+    def local(q_l, k_l, v_l, eq_l, ek_l, em_l, sigma, gamma, cov_inv):
         my = jax.lax.axis_index(GRAPH_AXIS)
         eq_loc = eq_l[0] - my * per               # [G, Ep] local query ids
         neg = jnp.asarray(NEG_INF, q_l.dtype)
@@ -216,7 +208,8 @@ def ring_edge_attention(
             ems = em_l[0, src]
             q_e = jnp.take(q_l, eqs, axis=1)       # [H, Ep, D]
             k_e = jnp.take(kc, eks, axis=1)
-            s_e = edgewise_scores(metric, q_e, k_e)
+            s_e = edgewise_scores(metric, q_e, k_e, sigma=sigma,
+                                  gamma=gamma, cov_inv=cov_inv)
             s_e = jnp.where(ems[None, :], s_e, neg)
 
             def seg_max(x):
@@ -253,12 +246,41 @@ def ring_edge_attention(
         denom = jnp.where(l > 0, l, 1.0)
         return acc / denom[..., None]
 
-    shard_fn = jax.shard_map(
+    rep = P()
+    return jax.shard_map(
         local, mesh=mesh,
         in_specs=(node_spec, node_spec, node_spec,
-                  edge_spec, edge_spec, edge_spec),
+                  edge_spec, edge_spec, edge_spec, rep, rep, rep),
         out_specs=node_spec)
 
+
+def ring_edge_attention(
+    mesh: Mesh,
+    metric: str,
+    q: jax.Array,            # [H, N, D]
+    k: jax.Array,            # [H, N, D]
+    v: jax.Array,            # [H, N, D]
+    edge_q: jax.Array,       # i32[G, G, Ep] from *_by_query_and_key
+    edge_k: jax.Array,
+    edge_mask: jax.Array,
+    *,
+    sigma=None, gamma=None, cov_inv=None,
+) -> jax.Array:
+    """Halo-overlapped edge attention: K/V shards circulate around the
+    ring (`ppermute` over ICI) while each chip folds the arriving chunk
+    into a streaming segment softmax for its local queries — no chip
+    ever holds the full K/V, and step s's communication overlaps step
+    s's compute in the XLA schedule.
+
+    This is the standalone (device_put) wrapper around
+    `make_ring_attention`, which the model's ``spatial_backend="ring"``
+    uses inside its jitted forward; `ops/pallas/ring_gather` provides
+    the same ring as a remote-DMA kernel for fusing the copy into the
+    kernel itself."""
+    H, N, D = q.shape
+    shard_fn = make_ring_attention(mesh, metric, H, N, D)
+    node_spec = P(None, GRAPH_AXIS, None)
+    edge_spec = P(GRAPH_AXIS, None, None)
     dev = NamedSharding(mesh, node_spec)
     es = NamedSharding(mesh, edge_spec)
     q = jax.device_put(q, dev)
@@ -267,7 +289,26 @@ def ring_edge_attention(
     edge_q = jax.device_put(jnp.asarray(edge_q), es)
     edge_k = jax.device_put(jnp.asarray(edge_k), es)
     edge_mask = jax.device_put(jnp.asarray(edge_mask), es)
-    return shard_fn(q, k, v, edge_q, edge_k, edge_mask)
+    Dh = q.shape[-1]
+    sigma, gamma, cov_inv = metric_placeholders(H, Dh, q.dtype, sigma,
+                                                gamma, cov_inv)
+    return shard_fn(q, k, v, edge_q, edge_k, edge_mask, sigma, gamma,
+                    cov_inv)
+
+
+def metric_placeholders(H: int, Dh: int, dtype, sigma=None, gamma=None,
+                        cov_inv=None):
+    """Concrete stand-ins matching `ops.distances` None-defaults (sigma
+    and gamma default to 1, mahalanobis' cov_inv to the identity) —
+    shard_map needs real operands for every input."""
+    if sigma is None:
+        sigma = jnp.ones((H,), dtype)
+    if gamma is None:
+        gamma = jnp.ones((H,), dtype)
+    if cov_inv is None:
+        cov_inv = jnp.broadcast_to(jnp.eye(Dh, dtype=dtype),
+                                   (H, Dh, Dh))
+    return sigma, gamma, cov_inv
 
 
 def scaling_report(mesh: Mesh, edges_per_sec_1chip: float,

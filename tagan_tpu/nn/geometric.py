@@ -265,6 +265,42 @@ class GeometricAttention:
             out = M.layer_norm(p["ln2"], out)
         return out
 
+    # -- forward (ring / edge-partitioned backend) -----------------------
+    def apply_ring(
+        self,
+        p: M.Params,
+        x: jax.Array,                 # [N, hidden]
+        ring_fn,                      # from dist.edge_partition.make_ring_attention
+        edge_q: jax.Array,            # i32[G, G, Ep] bucketed edges
+        edge_k: jax.Array,            # i32[G, G, Ep]
+        edge_mask: jax.Array,         # bool[G, G, Ep]
+        node_mask: jax.Array,         # bool[N]
+    ) -> jax.Array:
+        """Same semantics over the mesh graph axis: QKV/LN/residual run
+        under GSPMD, the attention core is the shard_map'd ring (K/V
+        circulate via ppermute; per-query softmax is exact because every
+        edge of a query lives on its owner). Self loops must already be
+        in the buckets (SnapshotSequence.with_ring_plan adds them).
+        Deterministic only — attention dropout and edge bias raise at
+        the model level."""
+        from ..dist.edge_partition import metric_placeholders
+        identity = x
+        h = M.layer_norm(p["ln1"], x) if self.use_layer_norm else x
+        q = self._split_heads(M.linear(p["q"], h))   # [H, N, Dh]
+        k = self._split_heads(M.linear(p["k"], h))
+        v = self._split_heads(M.linear(p["v"], h))
+        sigma, gamma, cov_inv = self._metric_params(p)
+        sigma, gamma, cov_inv = metric_placeholders(
+            self.num_heads, self.head_dim, x.dtype, sigma, gamma, cov_inv)
+        ctx = ring_fn(q, k, v, edge_q, edge_k, edge_mask, sigma, gamma,
+                      cov_inv)
+        ctx = self._merge_heads(ctx)
+        ctx = M.linear(p["o"], ctx)
+        out = ctx + identity
+        if self.use_layer_norm:
+            out = M.layer_norm(p["ln2"], out)
+        return jnp.where(node_mask[:, None], out, identity)
+
     # -- forward (sparse/CSR backend) ------------------------------------
     def apply_sparse(
         self,

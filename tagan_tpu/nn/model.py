@@ -64,6 +64,9 @@ class TAGANOutput(NamedTuple):
 @dataclasses.dataclass(frozen=True)
 class TAGAN:
     config: TAGANConfig
+    # device mesh for spatial_backend="ring" (edge-partitioned attention
+    # over the mesh's graph axis); unused by the other backends
+    mesh: Optional[Any] = None
 
     # -- submodules (wiring mirrors model.py:39-146) ----------------------
     @property
@@ -168,7 +171,14 @@ class TAGAN:
         ga = self.graph_attention
         use_flash = (c.spatial_backend == "flash" and not return_weights)
         use_csr = (c.spatial_backend == "csr" and not return_weights)
+        use_ring = (c.spatial_backend == "ring" and not return_weights)
         first_weights = None
+
+        if use_ring:
+            return self._encode_spatial_ring(
+                p, seq, x, want_edge_bias,
+                deterministic=deterministic, rng=rng,
+                return_weights=return_weights)
 
         edge_feats = None
         if want_edge_bias and not (use_csr or use_flash):
@@ -363,6 +373,74 @@ class TAGAN:
                 else:
                     x = x + skip
         return (x, first_weights) if return_weights else x
+
+    def _encode_spatial_ring(
+        self, p: M.Params, seq: SnapshotSequence, x: jax.Array,
+        want_edge_bias: bool, *, deterministic: bool,
+        rng: Optional[jax.Array], return_weights: bool,
+    ):
+        """spatial_backend="ring": edge-partitioned attention over the
+        mesh graph axis (dist.edge_partition.make_ring_attention) —
+        each chip owns a contiguous slot shard plus the edge buckets
+        whose query lives there; K/V shards circulate via ppermute with
+        compute overlapping communication. Needs TAGAN(mesh=...) and
+        sequences carrying a plan from with_ring_plan()."""
+        c = self.config
+        if self.mesh is None:
+            raise ValueError(
+                "spatial_backend='ring' requires TAGAN(config, "
+                "mesh=...) with a mesh that has a 'graph' axis")
+        if seq.ring_eq is None:
+            raise ValueError(
+                "spatial_backend='ring' requires sequences built with "
+                "SnapshotSequence.with_ring_plan(num_shards)")
+        if want_edge_bias:
+            raise NotImplementedError(
+                "edge-feature bias is not implemented on the ring "
+                "backend; use spatial_backend='flash' or 'csr'")
+        if not deterministic and rng is not None and c.dropout > 0.0:
+            raise NotImplementedError(
+                "attention/output dropout is not implemented on the "
+                "ring backend; train with dropout=0.0 or another "
+                "backend")
+        from ..dist.edge_partition import make_ring_attention
+        from ..dist.mesh import GRAPH_AXIS
+        N = seq.x.shape[1]
+        g = self.mesh.shape[GRAPH_AXIS]
+        if seq.ring_eq.shape[1] != g:
+            raise ValueError(
+                f"ring plan built for {seq.ring_eq.shape[1]} shards but "
+                f"mesh graph axis has {g} devices")
+        metric = c.effective_distance_metric
+        Dh = c.hidden_dim // c.num_heads
+        # mahalanobis rides the generic edgewise kernel via cov_inv
+        ring_fn = make_ring_attention(self.mesh, metric, c.num_heads, N,
+                                      Dh)
+        ga = self.graph_attention
+
+        def one_step(args):
+            xt, eq, ek, em, nm = args
+
+            def attend(lp, xx, i):
+                return ga.inner.apply_ring(lp["attn"], xx, ring_fn, eq,
+                                           ek, em, nm)
+
+            sk = xt
+            for i in range(c.num_layers):
+                lp = p["geometric_layers"][f"layer_{i}"]
+                xt = attend(lp, xt, i)
+                if i == 0:
+                    if c.use_layer_norm:
+                        xt = xt + M.layer_norm(p["skip_layer_norm"], sk)
+                    else:
+                        xt = xt + sk
+            return xt
+
+        if c.remat:
+            one_step = jax.checkpoint(one_step)
+        x = jax.lax.map(one_step, (x, seq.ring_eq, seq.ring_ek,
+                                   seq.ring_em, seq.node_mask))
+        return (x, None) if return_weights else x
 
     def __call__(
         self,

@@ -1,0 +1,165 @@
+"""spatial_backend="ring" in the full model: edge-partitioned geometric
+attention over the mesh graph axis (K/V circulating via ppermute inside
+a shard_map), wired through TAGAN(mesh=...) + with_ring_plan sequences.
+Collective-level equivalence of the ring itself lives in
+tests/test_edge_partition.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import tagan_tpu as tt
+from tagan_tpu.data.synthetic import (create_dynamic_synthetic_data,
+                                      create_synthetic_data)
+from tagan_tpu.dist.mesh import make_mesh
+from tagan_tpu.nn.model import TAGAN
+
+
+def _ring_setup(num_samples=2, shards=4, seed=0, churn=False, T=3):
+    if churn:
+        data = create_dynamic_synthetic_data(
+            num_samples=num_samples, sequence_length=T,
+            num_nodes_range=(9, 12), node_feature_dim=8, seed=seed)
+    else:
+        data = create_synthetic_data(
+            num_samples=num_samples, sequence_length=T,
+            num_nodes_range=(9, 12), node_feature_dim=8,
+            edge_feature_dim=0, seed=seed)
+    T_, N, E, _ = tt.pad_dims_for([s for s, _ in data])
+    N = -(-N // shards) * shards                 # shard multiple
+    seqs = [tt.build_sequence(s, max_nodes=N, max_edges=max(E, 1),
+                              max_time=T_).with_ring_plan(
+                shards, max_edges_per_bucket=E + N)
+            for s, _ in data]
+    labels = jnp.asarray([float(l) for _, l in data])
+    return seqs, labels
+
+
+@pytest.mark.parametrize("churn", [False, True])
+def test_ring_model_matches_dense(churn):
+    seqs, _ = _ring_setup(seed=1 + churn, churn=churn)
+    mesh = make_mesh(data=2, graph=4)
+    base = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=2,
+                          node_feature_dim=8, output_dim=1,
+                          loss_type="bce", dropout=0.0)
+    dense = TAGAN(base)
+    ring = TAGAN(base.replace(spatial_backend="ring"), mesh=mesh)
+    params = dense.init(jax.random.key(0))
+    for seq in seqs:
+        d = jax.jit(lambda p, s: dense(p, s).logits)(params, seq)
+        r = jax.jit(lambda p, s: ring(p, s).logits)(params, seq)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("metric,learnable", [
+    ("gaussian_kernel", True), ("mahalanobis", True), ("manhattan", False)])
+def test_ring_metric_variants_match_dense(metric, learnable):
+    """Learnable kernel metrics (sigma / low-rank mahalanobis) ride the
+    ring's replicated metric-parameter operands."""
+    seqs, _ = _ring_setup(num_samples=1, seed=3)
+    mesh = make_mesh(data=2, graph=4)
+    base = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=1,
+                          node_feature_dim=8, output_dim=1,
+                          loss_type="bce", dropout=0.0,
+                          distance_metric=metric,
+                          learnable_distance=learnable)
+    dense = TAGAN(base)
+    ring = TAGAN(base.replace(spatial_backend="ring"), mesh=mesh)
+    params = dense.init(jax.random.key(0))
+    d = jax.jit(lambda p, s: dense(p, s).logits)(params, seqs[0])
+    r = jax.jit(lambda p, s: ring(p, s).logits)(params, seqs[0])
+    np.testing.assert_allclose(np.asarray(d), np.asarray(r),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ring_train_step_matches_dense():
+    """One SGD step through the ring backend lands on the same params
+    as the dense backend (the ring's custom softmax streaming is exact,
+    so grads agree to float tolerance; SGD keeps the comparison
+    proportional to the grads — Adam would amplify fp noise on
+    near-zero entries)."""
+    seqs, labels = _ring_setup(num_samples=2, seed=5)
+    mesh = make_mesh(data=2, graph=4)
+    base = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=2,
+                          node_feature_dim=8, output_dim=1,
+                          loss_type="bce", dropout=0.0)
+    dense = TAGAN(base)
+    ring = TAGAN(base.replace(spatial_backend="ring"), mesh=mesh)
+    params = dense.init(jax.random.key(0))
+    tx = optax.sgd(0.1)
+
+    def one_step(model, params, seq, label):
+        def loss_fn(p):
+            return model(p, seq, label).loss
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, _ = tx.update(g, tx.init(params), params)
+        return loss, optax.apply_updates(params, upd)
+
+    l_d, p_d = jax.jit(lambda p: one_step(dense, p, seqs[0],
+                                          labels[0]))(params)
+    l_r, p_r = jax.jit(lambda p: one_step(ring, p, seqs[0],
+                                          labels[0]))(params)
+    np.testing.assert_allclose(float(l_d), float(l_r), rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_d),
+            jax.tree_util.tree_leaves_with_path(p_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5,
+                                   err_msg=str(ka))
+
+
+def test_ring_batched_vmap_step():
+    """Batched (vmap over sequences) forward+grad with the shard_map'd
+    ring inside — the trainer's batching pattern."""
+    seqs, labels = _ring_setup(num_samples=2, seed=7)
+    mesh = make_mesh(data=2, graph=4)
+    cfg = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=1,
+                         node_feature_dim=8, output_dim=1,
+                         loss_type="bce", dropout=0.0,
+                         spatial_backend="ring")
+    ring = TAGAN(cfg, mesh=mesh)
+    params = ring.init(jax.random.key(0))
+    batch = tt.batch_sequences(seqs)
+
+    def loss_fn(p):
+        losses = jax.vmap(lambda s, l: ring(p, s, l).loss)(batch, labels)
+        return jnp.mean(losses)
+
+    loss, g = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(loss))
+    gn = sum(float(jnp.sum(jnp.abs(x)))
+             for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_ring_error_cases():
+    seqs, _ = _ring_setup(num_samples=1, seed=9)
+    mesh = make_mesh(data=2, graph=4)
+    cfg = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=1,
+                         node_feature_dim=8, output_dim=1,
+                         loss_type="bce", spatial_backend="ring")
+    # no mesh
+    with pytest.raises(ValueError, match="mesh"):
+        TAGAN(cfg)(TAGAN(cfg, mesh=mesh).init(jax.random.key(0)),
+                   seqs[0])
+    # no ring plan on the sequence
+    ring = TAGAN(cfg, mesh=mesh)
+    p = ring.init(jax.random.key(0))
+    import dataclasses
+    bare = dataclasses.replace(seqs[0], ring_eq=None, ring_ek=None,
+                               ring_em=None)
+    with pytest.raises(ValueError, match="with_ring_plan"):
+        ring(p, bare)
+    # dropout requested in train mode -> loud, not silent
+    cfg_d = dataclasses.replace(cfg, dropout=0.3)
+    ring_d = TAGAN(cfg_d, mesh=mesh)
+    with pytest.raises(NotImplementedError, match="dropout"):
+        ring_d(p, seqs[0], deterministic=False, rng=jax.random.key(0))
+    # shard-count mismatch between plan and mesh
+    mesh2 = make_mesh(data=4, graph=2)
+    ring2 = TAGAN(cfg, mesh=mesh2)
+    with pytest.raises(ValueError, match="shards"):
+        ring2(p, seqs[0])
