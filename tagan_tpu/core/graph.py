@@ -67,6 +67,12 @@ class SnapshotSequence:
     ring_eq: Optional[jax.Array] = None
     ring_ek: Optional[jax.Array] = None
     ring_em: Optional[jax.Array] = None
+    # boundary-only halo variant (with_ring_plan(boundary=True)):
+    # ring_ek is then stored *localized* (diagonal buckets -> shard-local
+    # ids, off-diagonal -> positions into the key shard's boundary
+    # compaction) and ring_bnd_idx i32[T, G, Bp] lists each shard's
+    # exported boundary rows
+    ring_bnd_idx: Optional[jax.Array] = None
 
     @property
     def num_steps(self) -> int:
@@ -119,7 +125,9 @@ class SnapshotSequence:
         return 0 if self.ring_eq is None else self.ring_eq.shape[1]
 
     def with_ring_plan(self, num_shards: int,
-                       max_edges_per_bucket: Optional[int] = None
+                       max_edges_per_bucket: Optional[int] = None,
+                       boundary: bool = False,
+                       max_boundary: Optional[int] = None
                        ) -> "SnapshotSequence":
         """Attach the host-side edge partition consumed by
         ``spatial_backend="ring"``: per snapshot, bucket every valid
@@ -129,7 +137,12 @@ class SnapshotSequence:
         size N / num_shards.
 
         Pass ``max_edges_per_bucket`` to fix Ep across sequences (so
-        batched sequences stack); it must upper-bound every bucket."""
+        batched sequences stack); it must upper-bound every bucket.
+
+        ``boundary=True`` additionally compacts each shard's boundary
+        nodes (dist.edge_partition.make_boundary_plan) so the ring
+        circulates only the rows other shards reference — per-hop
+        traffic x beta instead of the full shard."""
         from ..dist.edge_partition import partition_edges_by_query_and_key
         N = self.max_nodes
         if N % num_shards != 0:
@@ -164,11 +177,31 @@ class SnapshotSequence:
             eq_t.append(bq)
             ek_t.append(bk)
             em_t.append(bm)
+        bnd_t = None
+        if boundary:
+            from ..dist.edge_partition import make_boundary_plan
+            if max_boundary is None:
+                # sizing pass: one static Bp across snapshots
+                bp = 1
+                for t in range(self.num_steps):
+                    _, _, bpt, _ = make_boundary_plan(
+                        eq_t[t], ek_t[t], em_t[t], N, num_shards)
+                    bp = max(bp, bpt)
+                max_boundary = bp
+            bnd_t = []
+            for t in range(self.num_steps):
+                bidx, ek_loc, _, _ = make_boundary_plan(
+                    eq_t[t], ek_t[t], em_t[t], N, num_shards,
+                    max_boundary=max_boundary)
+                bnd_t.append(bidx)
+                ek_t[t] = ek_loc
         return dataclasses.replace(
             self,
             ring_eq=jnp.asarray(np.stack(eq_t)),
             ring_ek=jnp.asarray(np.stack(ek_t)),
-            ring_em=jnp.asarray(np.stack(em_t)))
+            ring_em=jnp.asarray(np.stack(em_t)),
+            ring_bnd_idx=None if bnd_t is None
+            else jnp.asarray(np.stack(bnd_t)))
 
 
 # ---------------------------------------------------------------------------

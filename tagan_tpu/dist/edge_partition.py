@@ -164,6 +164,45 @@ def partition_edges_by_query_and_key(
     return out_q, out_k, out_m, Ep
 
 
+def _fold_chunk(metric, q_l, kc, vc, eqs, eks, ems, m, l, acc, per,
+                sigma, gamma, cov_inv, neg):
+    """Fold one K/V chunk into the streaming per-query segment softmax:
+    (m, l, acc) -> updated. eqs are owner-local query ids, eks index
+    into `kc`/`vc` (chunk-local), ems masks padded bucket slots."""
+    from ..ops.distances import edgewise_scores
+    H = q_l.shape[0]
+    q_e = jnp.take(q_l, eqs, axis=1)       # [H, Ep, D]
+    k_e = jnp.take(kc, eks, axis=1)
+    s_e = edgewise_scores(metric, q_e, k_e, sigma=sigma,
+                          gamma=gamma, cov_inv=cov_inv)
+    s_e = jnp.where(ems[None, :], s_e, neg)
+
+    def seg_max(x):
+        return jax.vmap(lambda r: jax.ops.segment_max(
+            r, eqs, num_segments=per))(x)
+
+    def seg_sum(x):
+        return jax.vmap(lambda r: jax.ops.segment_sum(
+            r, eqs, num_segments=per))(x)
+
+    m_chunk = seg_max(s_e)
+    m_chunk = jnp.where(jnp.isfinite(m_chunk), m_chunk, neg)
+    m_new = jnp.maximum(m, m_chunk)
+    # guard fully-empty queries (m stays NEG_INF)
+    shift = jnp.where(m_new <= neg * 0.5, 0.0, m_new)
+    p_e = jnp.exp(s_e - jnp.take_along_axis(
+        shift, jnp.broadcast_to(eqs, (H, eqs.shape[0])), axis=1))
+    p_e = p_e * ems[None, :]
+    alpha = jnp.where(m_new <= neg * 0.5, 1.0, jnp.exp(m - m_new))
+    alpha = jnp.where(m <= neg * 0.5, 0.0, alpha)
+    l_new = l * alpha + seg_sum(p_e)
+    v_e = jnp.take(vc, eks, axis=1)        # [H, Ep, D]
+    contrib = jax.vmap(lambda pe, ve: jax.ops.segment_sum(
+        pe[:, None] * ve, eqs, num_segments=per))(p_e, v_e)
+    acc_new = acc * alpha[..., None] + contrib
+    return m_new, l_new, acc_new
+
+
 def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int):
     """Build the shard_map'd ring-attention callable for use *inside*
     jit (no device_put — operands are resharded by GSPMD as needed).
@@ -176,7 +215,6 @@ def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int):
     (replicated) learnable metric parameters ([H] / [H] / [H, Dh, Dh],
     pass all-ones/zeros placeholders when unused — shard_map needs
     concrete operands)."""
-    from ..ops.distances import edgewise_scores
     from ..ops.masked import NEG_INF
 
     g = mesh.shape[GRAPH_AXIS]
@@ -193,9 +231,12 @@ def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int):
 
         # mark the accumulators as device-varying so scan's carry typing
         # matches the (varying) updates computed from sharded operands
-        m0 = jax.lax.pvary(jnp.full((H, per), neg), GRAPH_AXIS)
-        l0 = jax.lax.pvary(jnp.zeros((H, per)), GRAPH_AXIS)
-        acc0 = jax.lax.pvary(jnp.zeros((H, per, D)), GRAPH_AXIS)
+        m0 = jax.lax.pcast(jnp.full((H, per), neg), GRAPH_AXIS,
+                          to='varying')
+        l0 = jax.lax.pcast(jnp.zeros((H, per)), GRAPH_AXIS,
+                          to='varying')
+        acc0 = jax.lax.pcast(jnp.zeros((H, per, D)), GRAPH_AXIS,
+                            to='varying')
 
         def body(carry, step):
             m, l, acc, kc, vc = carry
@@ -203,43 +244,15 @@ def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int):
             # ppermute sends right, so after s steps we hold shard
             # (my - s) mod g's chunk
             src = jax.lax.rem(my - step + g, g)
-            eqs = eq_loc[src]                      # [Ep]
-            eks = ek_l[0, src] - src * per         # chunk-local key ids
-            ems = em_l[0, src]
-            q_e = jnp.take(q_l, eqs, axis=1)       # [H, Ep, D]
-            k_e = jnp.take(kc, eks, axis=1)
-            s_e = edgewise_scores(metric, q_e, k_e, sigma=sigma,
-                                  gamma=gamma, cov_inv=cov_inv)
-            s_e = jnp.where(ems[None, :], s_e, neg)
-
-            def seg_max(x):
-                return jax.vmap(lambda r: jax.ops.segment_max(
-                    r, eqs, num_segments=per))(x)
-
-            def seg_sum(x):
-                return jax.vmap(lambda r: jax.ops.segment_sum(
-                    r, eqs, num_segments=per))(x)
-
-            m_chunk = seg_max(s_e)
-            m_chunk = jnp.where(jnp.isfinite(m_chunk), m_chunk, neg)
-            m_new = jnp.maximum(m, m_chunk)
-            # guard fully-empty queries (m stays NEG_INF)
-            shift = jnp.where(m_new <= neg * 0.5, 0.0, m_new)
-            p_e = jnp.exp(s_e - jnp.take_along_axis(
-                shift, jnp.broadcast_to(eqs, (H, eqs.shape[0])), axis=1))
-            p_e = p_e * ems[None, :]
-            alpha = jnp.where(m_new <= neg * 0.5, 1.0, jnp.exp(m - m_new))
-            alpha = jnp.where(m <= neg * 0.5, 0.0, alpha)
-            l_new = l * alpha + seg_sum(p_e)
-            v_e = jnp.take(vc, eks, axis=1)        # [H, Ep, D]
-            contrib = jax.vmap(lambda pe, ve: jax.ops.segment_sum(
-                pe[:, None] * ve, eqs, num_segments=per))(p_e, v_e)
-            acc_new = acc * alpha[..., None] + contrib
+            m, l, acc = _fold_chunk(
+                metric, q_l, kc, vc, eq_loc[src],
+                ek_l[0, src] - src * per, em_l[0, src], m, l, acc, per,
+                sigma, gamma, cov_inv, neg)
             # circulate the chunk to the right neighbor
             perm = [(i, (i + 1) % g) for i in range(g)]
             kc2 = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
             vc2 = jax.lax.ppermute(vc, GRAPH_AXIS, perm)
-            return (m_new, l_new, acc_new, kc2, vc2), 0
+            return (m, l, acc, kc2, vc2), 0
 
         (m, l, acc, _, _), _ = jax.lax.scan(
             body, (m0, l0, acc0, k_l, v_l), jnp.arange(g))
@@ -323,4 +336,156 @@ def scaling_report(mesh: Mesh, edges_per_sec_1chip: float,
         "edges_per_sec_per_chip": per_chip,
         "scaling_efficiency": per_chip / edges_per_sec_1chip
         if edges_per_sec_1chip > 0 else 0.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Boundary-only (beta-traffic) halo exchange
+# ---------------------------------------------------------------------------
+
+def make_boundary_plan(
+    ring_eq: np.ndarray,     # i32[G, G, Ep] from *_by_query_and_key
+    ring_ek: np.ndarray,
+    ring_em: np.ndarray,
+    num_nodes: int, num_shards: int,
+    max_boundary: Optional[int] = None,
+):
+    """Host-side: compact each shard's *boundary* nodes — the keys any
+    other shard's queries reference — and remap the bucket key ids so
+    the ring can circulate only those rows (traffic x beta instead of
+    the full shard, SURVEY §2.9's halo exchange).
+
+    Returns (bnd_idx i32[G, Bp], ek_local i32[G, G, Ep], Bp, beta):
+      bnd_idx[g]        shard g's boundary node ids, *shard-local*,
+                        padded with 0 (padded rows are never referenced)
+      ek_local[gq, gk]  key ids remapped: diagonal buckets -> shard-local
+                        ids into the full chunk, off-diagonal -> positions
+                        into shard gk's boundary compaction
+      beta              mean true boundary fraction (pre-padding)
+    """
+    assert num_nodes % num_shards == 0
+    per = num_nodes // num_shards
+    G = num_shards
+    ek = np.asarray(ring_ek)
+    em = np.asarray(ring_em).astype(bool)
+    exports = []
+    for gk in range(G):
+        keys = set()
+        for gq in range(G):
+            if gq == gk:
+                continue
+            sel = em[gq, gk]
+            keys.update((ek[gq, gk][sel] - gk * per).tolist())
+        exports.append(sorted(keys))
+    Bp = max_boundary or max(1, max((len(e) for e in exports),
+                                    default=1))
+    bnd_idx = np.zeros((G, Bp), np.int32)
+    ek_local = np.zeros_like(ek)
+    for gk in range(G):
+        exp = exports[gk]
+        if len(exp) > Bp:
+            raise ValueError(
+                f"shard {gk} exports {len(exp)} boundary nodes > "
+                f"max_boundary={Bp}")
+        bnd_idx[gk, :len(exp)] = exp
+        pos = {v: i for i, v in enumerate(exp)}
+        for gq in range(G):
+            loc = ek[gq, gk] - gk * per
+            if gq == gk:
+                ek_local[gq, gk] = np.where(em[gq, gk], loc, 0)
+            else:
+                remap = np.asarray([pos.get(int(x), 0) for x in loc],
+                                   ek.dtype)
+                ek_local[gq, gk] = np.where(em[gq, gk], remap, 0)
+    beta = float(np.mean([len(e) for e in exports]) / per)
+    return bnd_idx, ek_local, Bp, beta
+
+
+def make_boundary_ring_attention(mesh: Mesh, metric: str, H: int, N: int,
+                                 D: int):
+    """Boundary-only ring: hop 0 folds the diagonal bucket against the
+    full local K/V; the remaining g-1 hops circulate only each shard's
+    boundary compaction (rows another shard actually references —
+    `make_boundary_plan`), so per-hop traffic is Bp rows instead of
+    N/g. Same streaming segment softmax as `make_ring_attention`, so
+    outputs are bit-compatible with it (and the dense oracle).
+
+    Returned signature:
+        fn(q, k, v, edge_q, ek_local, edge_mask, bnd_idx,
+           sigma, gamma, cov_inv) -> [H, N, D]
+    with ek_local/bnd_idx from `make_boundary_plan` (ek stored
+    pre-localized: diagonal -> shard-local, off-diagonal -> boundary
+    positions)."""
+    from ..ops.masked import NEG_INF
+
+    g = mesh.shape[GRAPH_AXIS]
+    assert N % g == 0, (N, g)
+    per = N // g
+
+    node_spec = P(None, GRAPH_AXIS, None)
+    edge_spec = P(GRAPH_AXIS, None, None)
+    bnd_spec = P(GRAPH_AXIS, None)
+
+    def local(q_l, k_l, v_l, eq_l, ek_l, em_l, bidx_l, sigma, gamma,
+              cov_inv):
+        my = jax.lax.axis_index(GRAPH_AXIS)
+        eq_loc = eq_l[0] - my * per               # [G, Ep] local query ids
+        neg = jnp.asarray(NEG_INF, q_l.dtype)
+
+        m0 = jax.lax.pcast(jnp.full((H, per), neg), GRAPH_AXIS,
+                          to='varying')
+        l0 = jax.lax.pcast(jnp.zeros((H, per)), GRAPH_AXIS,
+                          to='varying')
+        acc0 = jax.lax.pcast(jnp.zeros((H, per, D)), GRAPH_AXIS,
+                            to='varying')
+
+        # hop 0: the diagonal bucket against the full local chunk
+        m, l, acc = _fold_chunk(
+            metric, q_l, k_l, v_l, eq_loc[my], ek_l[0, my], em_l[0, my],
+            m0, l0, acc0, per, sigma, gamma, cov_inv, neg)
+
+        # only the boundary rows circulate
+        kb = jnp.take(k_l, bidx_l[0], axis=1)     # [H, Bp, D]
+        vb = jnp.take(v_l, bidx_l[0], axis=1)
+
+        def body(carry, step):
+            m, l, acc, kc, vc = carry
+            perm = [(i, (i + 1) % g) for i in range(g)]
+            kc = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
+            vc = jax.lax.ppermute(vc, GRAPH_AXIS, perm)
+            src = jax.lax.rem(my - step + g, g)
+            m, l, acc = _fold_chunk(
+                metric, q_l, kc, vc, eq_loc[src], ek_l[0, src],
+                em_l[0, src], m, l, acc, per, sigma, gamma, cov_inv, neg)
+            return (m, l, acc, kc, vc), 0
+
+        (m, l, acc, _, _), _ = jax.lax.scan(
+            body, (m, l, acc, kb, vb), jnp.arange(1, g))
+        denom = jnp.where(l > 0, l, 1.0)
+        return acc / denom[..., None]
+
+    rep = P()
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(node_spec, node_spec, node_spec,
+                  edge_spec, edge_spec, edge_spec, bnd_spec,
+                  rep, rep, rep),
+        out_specs=node_spec)
+
+
+def boundary_traffic_report(N: int, num_shards: int, Bp: int, H: int,
+                            D: int, beta: float,
+                            bytes_per_el: int = 4) -> dict:
+    """Per-layer ring traffic: full-chunk circulation vs boundary-only
+    (the measured reduction VERDICT/SURVEY §2.9 asks to track)."""
+    per = N // num_shards
+    hops = num_shards - 1
+    full = 2 * H * per * D * hops * bytes_per_el        # K and V
+    bnd = 2 * H * Bp * D * hops * bytes_per_el
+    return {
+        "bytes_full_ring": int(full),
+        "bytes_boundary_ring": int(bnd),
+        "padded_reduction": full / max(bnd, 1),
+        "beta_true": beta,
+        "true_reduction": 1.0 / max(beta, 1e-9),
     }

@@ -270,19 +270,17 @@ class GeometricAttention:
         self,
         p: M.Params,
         x: jax.Array,                 # [N, hidden]
-        ring_fn,                      # from dist.edge_partition.make_ring_attention
-        edge_q: jax.Array,            # i32[G, G, Ep] bucketed edges
-        edge_k: jax.Array,            # i32[G, G, Ep]
-        edge_mask: jax.Array,         # bool[G, G, Ep]
+        attn_core,                    # (q, k, v, sigma, gamma, cov_inv) -> ctx
         node_mask: jax.Array,         # bool[N]
     ) -> jax.Array:
         """Same semantics over the mesh graph axis: QKV/LN/residual run
-        under GSPMD, the attention core is the shard_map'd ring (K/V
-        circulate via ppermute; per-query softmax is exact because every
-        edge of a query lives on its owner). Self loops must already be
-        in the buckets (SnapshotSequence.with_ring_plan adds them).
-        Deterministic only — attention dropout and edge bias raise at
-        the model level."""
+        under GSPMD, the attention core (`attn_core`, a closure over a
+        shard_map'd ring from dist.edge_partition — full-chunk or
+        boundary-only) circulates K/V via ppermute; per-query softmax is
+        exact because every edge of a query lives on its owner. Self
+        loops must already be in the buckets
+        (SnapshotSequence.with_ring_plan adds them). Deterministic only —
+        attention dropout and edge bias raise at the model level."""
         from ..dist.edge_partition import metric_placeholders
         identity = x
         h = M.layer_norm(p["ln1"], x) if self.use_layer_norm else x
@@ -292,8 +290,7 @@ class GeometricAttention:
         sigma, gamma, cov_inv = self._metric_params(p)
         sigma, gamma, cov_inv = metric_placeholders(
             self.num_heads, self.head_dim, x.dtype, sigma, gamma, cov_inv)
-        ctx = ring_fn(q, k, v, edge_q, edge_k, edge_mask, sigma, gamma,
-                      cov_inv)
+        ctx = attn_core(q, k, v, sigma, gamma, cov_inv)
         ctx = self._merge_heads(ctx)
         ctx = M.linear(p["o"], ctx)
         out = ctx + identity

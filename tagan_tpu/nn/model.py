@@ -403,7 +403,8 @@ class TAGAN:
                 "attention/output dropout is not implemented on the "
                 "ring backend; train with dropout=0.0 or another "
                 "backend")
-        from ..dist.edge_partition import make_ring_attention
+        from ..dist.edge_partition import (make_boundary_ring_attention,
+                                           make_ring_attention)
         from ..dist.mesh import GRAPH_AXIS
         N = seq.x.shape[1]
         g = self.mesh.shape[GRAPH_AXIS]
@@ -413,22 +414,32 @@ class TAGAN:
                 f"mesh graph axis has {g} devices")
         metric = c.effective_distance_metric
         Dh = c.hidden_dim // c.num_heads
+        halo = seq.ring_bnd_idx is not None
         # mahalanobis rides the generic edgewise kernel via cov_inv
-        ring_fn = make_ring_attention(self.mesh, metric, c.num_heads, N,
-                                      Dh)
+        if halo:
+            # boundary-only exchange: only the rows other shards
+            # reference circulate (with_ring_plan(boundary=True))
+            ring_fn = make_boundary_ring_attention(
+                self.mesh, metric, c.num_heads, N, Dh)
+        else:
+            ring_fn = make_ring_attention(self.mesh, metric, c.num_heads,
+                                          N, Dh)
         ga = self.graph_attention
 
         def one_step(args):
-            xt, eq, ek, em, nm = args
-
-            def attend(lp, xx, i):
-                return ga.inner.apply_ring(lp["attn"], xx, ring_fn, eq,
-                                           ek, em, nm)
+            xt, eq, ek, em, nm, bidx = args
+            if halo:
+                def core(qh, kh, vh, sig, gam, cov):
+                    return ring_fn(qh, kh, vh, eq, ek, em, bidx, sig,
+                                   gam, cov)
+            else:
+                def core(qh, kh, vh, sig, gam, cov):
+                    return ring_fn(qh, kh, vh, eq, ek, em, sig, gam, cov)
 
             sk = xt
             for i in range(c.num_layers):
                 lp = p["geometric_layers"][f"layer_{i}"]
-                xt = attend(lp, xt, i)
+                xt = ga.inner.apply_ring(lp["attn"], xt, core, nm)
                 if i == 0:
                     if c.use_layer_norm:
                         xt = xt + M.layer_norm(p["skip_layer_norm"], sk)
@@ -438,8 +449,17 @@ class TAGAN:
 
         if c.remat:
             one_step = jax.checkpoint(one_step)
-        x = jax.lax.map(one_step, (x, seq.ring_eq, seq.ring_ek,
-                                   seq.ring_em, seq.node_mask))
+        args = [x, seq.ring_eq, seq.ring_ek, seq.ring_em, seq.node_mask,
+                seq.ring_bnd_idx]
+        present = [a is not None for a in args]
+        packed = tuple(a for a in args if a is not None)
+
+        def step(packed_args):
+            it = iter(packed_args)
+            return one_step(tuple(next(it) if ok else None
+                                  for ok in present))
+
+        x = jax.lax.map(step, packed)
         return (x, None) if return_weights else x
 
     def __call__(

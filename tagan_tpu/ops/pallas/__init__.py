@@ -7,6 +7,8 @@ XLA oracle implementation transparently.
 """
 
 from ..sparse import edge_attention as _xla_edge_attention
+from .ring_flash import ring_flash_attention, ring_flash_attention_local
+from .ring_gather import ring_all_gather, ring_all_gather_sharded
 
 
 def fused_edge_attention(metric, q, k, v, edge_q, edge_k, edge_mask,

@@ -30,9 +30,15 @@ def _ring_kernel(x_ref, out_ref, comm_ref, send_sem, recv_sem, copy_sem,
                  *, axis_name: str, num_devices: int, chunk: int):
     """out[(my - step) % G] = chunk received after `step` hops.
 
-    Double-buffered: while chunk s is being forwarded to the right
+    Buffered ring: while chunk s is being forwarded to the right
     neighbor, chunk s-1 (already received) is copied into the output —
-    communication and local copies overlap.
+    communication and local copies overlap. THREE comm slots, not two:
+    with 2 slots the neighbor's hop s+1 write targets the very slot our
+    hop-s send still reads, and no cross-device ordering exists between
+    them; with 3 slots the conflicting write (hop s+2) is transitively
+    ordered behind our hop-s send_sem wait (our s+1 send starts only
+    after it, and the neighbor needs that send's completion to reach
+    s+2).
     """
     my = jax.lax.axis_index(axis_name)
 
@@ -48,8 +54,8 @@ def _ring_kernel(x_ref, out_ref, comm_ref, send_sem, recv_sem, copy_sem,
     right = jax.lax.rem(my + 1, num_devices)
 
     def body(step, _):
-        send_slot = jax.lax.rem(step, 2)
-        recv_slot = jax.lax.rem(step + 1, 2)
+        send_slot = jax.lax.rem(step, 3)
+        recv_slot = jax.lax.rem(step + 1, 3)
         rdma = pltpu.make_async_remote_copy(
             src_ref=comm_ref.at[send_slot],
             dst_ref=comm_ref.at[recv_slot],
@@ -90,9 +96,9 @@ def ring_all_gather(
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, d), x.dtype),     # comm double buffer
-            pltpu.SemaphoreType.DMA((2,)),           # send
-            pltpu.SemaphoreType.DMA((2,)),           # recv
+            pltpu.VMEM((3, chunk, d), x.dtype),     # comm slots (see race note)
+            pltpu.SemaphoreType.DMA((3,)),           # send
+            pltpu.SemaphoreType.DMA((3,)),           # recv
             pltpu.SemaphoreType.DMA(()),             # local copies
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True,

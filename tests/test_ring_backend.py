@@ -163,3 +163,65 @@ def test_ring_error_cases():
     ring2 = TAGAN(cfg, mesh=mesh2)
     with pytest.raises(ValueError, match="shards"):
         ring2(p, seqs[0])
+
+
+def test_boundary_ring_matches_full_and_dense():
+    """with_ring_plan(boundary=True): only each shard's boundary rows
+    circulate; outputs must match both the full-chunk ring and the
+    dense backend, and the traffic report must show a real reduction."""
+    from tagan_tpu.dist.edge_partition import boundary_traffic_report
+    seqs, _ = _ring_setup(num_samples=2, seed=13)
+    mesh = make_mesh(data=2, graph=4)
+    base = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=2,
+                          node_feature_dim=8, output_dim=1,
+                          loss_type="bce", dropout=0.0)
+    dense = TAGAN(base)
+    ring = TAGAN(base.replace(spatial_backend="ring"), mesh=mesh)
+    params = dense.init(jax.random.key(0))
+    for seq in seqs:
+        import dataclasses as dc
+        bare = dc.replace(seq, ring_eq=None, ring_ek=None, ring_em=None,
+                          ring_bnd_idx=None)
+        halo_seq = bare.with_ring_plan(4, boundary=True)
+        assert halo_seq.ring_bnd_idx is not None
+        d = jax.jit(lambda p, s: dense(p, s).logits)(params, seq)
+        f = jax.jit(lambda p, s: ring(p, s).logits)(params, seq)
+        h = jax.jit(lambda p, s: ring(p, s).logits)(params, halo_seq)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(h),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(f), np.asarray(h),
+                                   rtol=1e-5, atol=1e-6)
+        # boundary compaction is a strict subset of the shard
+        Bp = halo_seq.ring_bnd_idx.shape[-1]
+        per = seq.max_nodes // 4
+        assert Bp <= per
+        rep = boundary_traffic_report(seq.max_nodes, 4, Bp, 2, 8,
+                                      beta=Bp / per)
+        assert rep["bytes_boundary_ring"] <= rep["bytes_full_ring"]
+
+
+def test_boundary_ring_grads():
+    """Backward through the boundary ring (take/ppermute transpose)
+    matches the dense backend's grads."""
+    seqs, labels = _ring_setup(num_samples=1, seed=15)
+    import dataclasses as dc
+    bare = dc.replace(seqs[0], ring_eq=None, ring_ek=None, ring_em=None,
+                      ring_bnd_idx=None)
+    halo_seq = bare.with_ring_plan(4, boundary=True)
+    mesh = make_mesh(data=2, graph=4)
+    base = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=1,
+                          node_feature_dim=8, output_dim=1,
+                          loss_type="bce", dropout=0.0)
+    dense = TAGAN(base)
+    ring = TAGAN(base.replace(spatial_backend="ring"), mesh=mesh)
+    params = dense.init(jax.random.key(0))
+    gd = jax.jit(jax.grad(lambda p: dense(p, seqs[0], labels[0]).loss))(
+        params)
+    gh = jax.jit(jax.grad(lambda p: ring(p, halo_seq, labels[0]).loss))(
+        params)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gd),
+            jax.tree_util.tree_leaves_with_path(gh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5,
+                                   err_msg=str(ka))
