@@ -224,6 +224,12 @@ class ExperimentConfig:
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 0              # 0 = only best
     log_every: int = 10
+    # timestamped training_<ts>.log + console handler when set
+    # (reference trainer.py:113-141); "" = module logger only
+    log_dir: str = ""
+    # dump training_history.png/json into checkpoint_dir at the end of
+    # train() (reference trainer.py:591-638)
+    plot_history: bool = False
     shuffle: bool = True
     num_workers: int = 0                   # config.py:390 — loader
                                            # prefetch threads (0 = sync)

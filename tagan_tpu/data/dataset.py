@@ -34,9 +34,19 @@ class TemporalGraphDataset:
 
     def __init__(self, data: Sequence, labels: Optional[Sequence] = None):
         if labels is None:
-            # accept [(sequence, label)] pairs
-            self.sequences = [s for s, _ in data]
-            self.labels = [l for _, l in data]
+            items = list(data)
+            if items and isinstance(items[0], (tuple, list)) \
+                    and len(items[0]) == 2 \
+                    and not isinstance(items[0][1], (tuple, list)):
+                # [(sequence, label)] pairs — a raw 2-snapshot sequence
+                # would have a snapshot tuple in slot 1, not a scalar
+                self.sequences = [s for s, _ in items]
+                self.labels = [l for _, l in items]
+            else:
+                # unlabeled sequences (inference-only datasets fed to
+                # TAGANTrainer.predict — labels are dummies, never read)
+                self.sequences = items
+                self.labels = [0.0] * len(items)
         else:
             self.sequences = list(data)
             self.labels = list(labels)

@@ -198,3 +198,21 @@ class MetricsTracker:
     def latest(self, split: str) -> Optional[Dict[str, float]]:
         hist = self.history.get(split, [])
         return hist[-1] if hist else None
+
+    def plot_metrics(self, metrics: Optional[Sequence[str]] = None,
+                     save_path: Optional[str] = None):
+        """Per-split metric curves (the reference MetricsTracker's plot
+        methods, utils/metrics.py:307-536): one `<split>_<metric>` line
+        per tracked split through `viz.plot_training_history`."""
+        from ..viz.performance_vis import plot_training_history
+        series: Dict[str, list] = {}
+        for split, hist in self.history.items():
+            if not hist:
+                continue
+            keys = metrics or sorted({k for m in hist for k in m})
+            for k in keys:
+                vals = [m[k] for m in hist if k in m]
+                if vals:
+                    series[f"{split}_{k}"] = vals
+        return plot_training_history(series, title="Tracked metrics",
+                                     save_path=save_path)

@@ -70,6 +70,9 @@ class TAGANTrainer:
         self.config = model.config
         self.mesh = mesh
         self.experiment = experiment or ExperimentConfig(model=model.config)
+        self.log_file: Optional[str] = None
+        if self.experiment.log_dir:
+            self._setup_logging(self.experiment.log_dir)
         self.rng = rng if rng is not None else jax.random.key(
             self.experiment.seed)
         if params is None:
@@ -86,6 +89,27 @@ class TAGANTrainer:
         self._plateau_best = -np.inf
         self._plateau_wait = 0
         self._build_steps()
+
+    # -- logging (reference trainer.py:113-141) ---------------------------
+    def _setup_logging(self, log_dir: str):
+        """Timestamped log file + console, like the reference's
+        `_setup_logging`: every `logger` line during training also lands
+        in ``<log_dir>/training_<timestamp>.log``."""
+        os.makedirs(log_dir, exist_ok=True)
+        ts = time.strftime("%Y%m%d_%H%M%S")
+        self.log_file = os.path.join(log_dir, f"training_{ts}.log")
+        fmt = logging.Formatter(
+            "%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+        fh = logging.FileHandler(self.log_file)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+        if not any(type(h) is logging.StreamHandler
+                   for h in logger.handlers):
+            ch = logging.StreamHandler()
+            ch.setFormatter(fmt)
+            logger.addHandler(ch)
+        if logger.level > logging.INFO or logger.level == logging.NOTSET:
+            logger.setLevel(logging.INFO)
 
     # -- jitted steps -----------------------------------------------------
     def _build_steps(self):
@@ -116,6 +140,12 @@ class TAGANTrainer:
                 batch, labels)
             return out.loss, out.predictions
 
+        def predict_step(params, batch):
+            # label-free: no loss is computed, so unlabeled loaders work
+            out = jax.vmap(lambda s: model(params, s, None,
+                                           deterministic=True))(batch)
+            return out.predictions
+
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..dist.spmd import batch_specs
@@ -133,9 +163,13 @@ class TAGANTrainer:
             self._eval_step = jax.jit(
                 eval_step, in_shardings=(repl, bspec, dvec),
                 out_shardings=(dvec, dvec))
+            self._predict_step = jax.jit(
+                predict_step, in_shardings=(repl, bspec),
+                out_shardings=dvec)
         else:
             self._train_step = jax.jit(train_step)
             self._eval_step = jax.jit(eval_step)
+            self._predict_step = jax.jit(predict_step)
 
         def train_scan(params, opt_state, batches, labels, masks, rng,
                        lr_scale):
@@ -305,8 +339,28 @@ class TAGANTrainer:
                             f"(best {exp.early_stopping_metric}="
                             f"{best_metric:.4f} @ {best_epoch})")
                 break
+        if ckpt_dir and exp.plot_history:
+            # curve dump at end of training (reference trainer.py:591-638
+            # plot_training_curves) + raw history JSON next to it
+            try:
+                self.plot_history(
+                    history, os.path.join(ckpt_dir,
+                                          "training_history.png"))
+                with open(os.path.join(ckpt_dir,
+                                       "training_history.json"),
+                          "w") as f:
+                    json.dump(history, f)
+            except Exception as e:   # plotting must never kill a run
+                logger.warning(f"history plot failed: {e}")
         return {"history": history, "best_metric": best_metric,
                 "best_epoch": best_epoch, "tracker": self.tracker}
+
+    @staticmethod
+    def plot_history(history: Dict[str, List[float]], save_path: str):
+        """Training-curve figure (viz.plot_training_history)."""
+        from ..viz.performance_vis import plot_training_history
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        return plot_training_history(history, save_path=save_path)
 
     def evaluate(self, loader) -> Dict[str, float]:
         loss, metrics = self._run_epoch(loader, False)
@@ -318,9 +372,13 @@ class TAGANTrainer:
         return metrics
 
     def predict(self, loader) -> np.ndarray:
+        """Label-free inference (reference trainer.py:459-518): the
+        loader's labels (dummy zeros for unlabeled datasets) are never
+        read — predictions come from a loss-free jitted step."""
         preds = []
-        for batch, labels, mask in loader:
-            _, p = self._eval_step(self.params, batch, labels)
+        for item in loader:
+            batch, mask = item[0], item[-1]
+            p = self._predict_step(self.params, batch)
             preds.append(np.asarray(p)[np.asarray(mask)])
         return np.concatenate(preds) if preds else np.zeros((0,))
 

