@@ -1,16 +1,29 @@
 """Benchmark driver: prints ONE JSON line
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}.
 
-Primary metric: edges/s/chip through the fused per-snapshot geometric
-attention (SDDMM + masked segment softmax + SpMM — BASELINE.json north
-star), using the Pallas flash kernel. vs_baseline compares against the
-mounted PyTorch reference's GeometricAttention executing the same
-edge-masked attention on this host's CPU (the only hardware the
-reference supports; it publishes no numbers — BASELINE.md).
+Headline metric (VERDICT round 1 item 7 — the honest config): edges/s
+per chip through the fused flash geometric attention at the 10K-node /
+deg-16 / 8-snapshot / hidden-64 / 4-head workload — the BASELINE
+config-2 scale, where the block-sparsity machinery actually runs —
+with explicit MXU utilization / MFU and the full 10K training-step
+time as extra fields:
+
+  mxu_util    issued MXU FLOPs (Dp=128-padded blocks, both matmuls over
+              occupied blocks) / measured 103 TFLOP/s ceiling
+  mfu         same but counting only useful math at the true head dim
+              (16 of the 128 lanes) — the model-FLOPs utilization
+  step_ms_10k full training step (2 flash layers + propagation + memory
+              + temporal attention + head, fwd+bwd+Adam), packed
+              structure path — benchmarks/bench_10k_step.py's number
+
+vs_baseline compares against the mounted PyTorch reference's
+GeometricAttention executing the SAME 10K workload on this host's CPU
+(the only hardware the reference supports; it publishes no numbers —
+BASELINE.md).
 
 Timing notes: on this image `block_until_ready` returns before remote
-TPU execution completes, so iterations are chained *inside* one jit with
-a data dependency and the result is materialized to host.
+TPU execution completes, so iterations are chained *inside* one jit
+with a data dependency and the result is materialized to host.
 """
 
 import json
@@ -20,8 +33,23 @@ import time
 
 import numpy as np
 
+PEAK_TFLOPS = 103.0      # measured v5e default-precision ceiling (CLAUDE.md)
+N, DEG, T, HID, HEADS = 10_000, 16, 8, 64, 4
 
-def _workload(N=1024, deg=16, T=8, H=128, heads=8, seed=0):
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the driver runs this script in a
+    fresh process every round — cached compiles cut minutes."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/tagan_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+def _workload(N=N, deg=DEG, T=T, H=HID, seed=0):
     rng = np.random.default_rng(seed)
     E = N * deg
     x = rng.standard_normal((T, N, H)).astype(np.float32)
@@ -32,40 +60,49 @@ def _workload(N=1024, deg=16, T=8, H=128, heads=8, seed=0):
     return x, adj, n_edges
 
 
-def bench_tagan_tpu(N=1024, deg=16, T=8, H=128, heads=8, iters=500):
-    """Steady-state throughput of the fused attention forward.
-
-    iters is high because this image's TPU relay adds ~26 ms of fixed
-    per-call overhead (measured with an empty fori_loop) — at low iter
-    counts that fixed cost, not the kernel, dominates the division.
-    Block-sparsity plans are precomputed once per graph outside the
-    timed loop, exactly as the model uses them (the adjacency is fixed
-    per snapshot; plans are shared across layers, steps and fwd/bwd —
-    see ops.pallas.flash_geometric.make_block_plan)."""
+def bench_flash_attention(iters=60):
+    """Steady-state throughput of one fused attention layer forward over
+    the T=8 snapshots. Block-sparsity plans are precomputed once per
+    graph outside the timed loop, exactly as the model uses them (the
+    adjacency is fixed per snapshot; plans are shared across layers,
+    steps and fwd/bwd)."""
     import jax
     import jax.numpy as jnp
     from tagan_tpu.nn import GeometricAttention
     from tagan_tpu.ops.pallas.flash_geometric import make_block_plan
 
-    x_np, adj_np, n_edges = _workload(N, deg, T, H, heads)
-    attn = GeometricAttention(hidden_dim=H, num_heads=heads, dropout=0.0,
+    _enable_compile_cache()
+    x_np, adj_np, n_edges = _workload()
+    attn = GeometricAttention(hidden_dim=HID, num_heads=HEADS, dropout=0.0,
                               distance_metric="scaled_dot_product")
     params = attn.init(jax.random.key(0))
     x = jnp.asarray(x_np)
     adj = jnp.asarray(np.broadcast_to(adj_np, (T, N, N)).copy())
     adj1 = jnp.asarray(adj_np)
 
+    BM, BN = 512, 1024
+
     def bcast(plan):   # one per-graph plan, broadcast over the T axis
         return tuple(jnp.broadcast_to(a, (T,) + a.shape) for a in plan)
 
-    plan = bcast(make_block_plan(adj1, 512, 1024))
-    plan_t = bcast(make_block_plan(adj1.T, 1024, 512))
+    plan_h = make_block_plan(adj1, BM, BN)
+    plan = bcast(plan_h)
+    plan_t = bcast(make_block_plan(adj1.T, BN, BM))
+    occupied = int(np.asarray(plan_h[1]).sum())     # occupied key blocks
 
     @jax.jit
     def run_many(x, adj, plan, plan_t):
+        # snapshots via lax.map (the model's structure, nn/model.py) —
+        # vmapping the Pallas call over T compiles pathologically at
+        # this size (~9 min vs seconds)
+        def one(args):
+            xt, adjt, pl_, plt_ = args
+            return attn.apply_flash(params, xt, adjt, plan=pl_,
+                                    plan_t=plt_)
+
         def body(i, carry):
-            out = attn.apply_flash(params, x + carry * 1e-30, adj,
-                                   plan=plan, plan_t=plan_t)
+            out = jax.lax.map(one, (x + carry * 1e-30, adj, plan,
+                                    plan_t))
             return out[:1, :1, :1] * 0.0 + out[0, 0, 0]
         return jnp.sum(jax.lax.fori_loop(
             0, iters, body, jnp.zeros((1, 1, 1), jnp.float32)))
@@ -73,34 +110,91 @@ def bench_tagan_tpu(N=1024, deg=16, T=8, H=128, heads=8, iters=500):
     float(run_many(x, adj, plan, plan_t))   # compile + warm
     t0 = time.perf_counter()
     float(run_many(x, adj, plan, plan_t))   # host sync forces completion
-    dt = (time.perf_counter() - t0) / iters
-    return n_edges / dt, T / dt
+    dt = (time.perf_counter() - t0) / iters   # one layer x T snapshots
+
+    # issued MXU work: 2 matmuls (QK^T cross term + PV) per occupied
+    # [BM, BN] block, Dp = 128 lanes, per head per snapshot
+    Dp = 128
+    flops_issued = 4.0 * HEADS * T * occupied * BM * BN * Dp
+    true_d = HID // HEADS
+    flops_useful = flops_issued * (true_d / Dp)
+    return {
+        "edges_per_s": n_edges / dt,
+        "layer_ms": dt * 1e3,
+        "mxu_util": (flops_issued / dt) / (PEAK_TFLOPS * 1e12),
+        "mfu": (flops_useful / dt) / (PEAK_TFLOPS * 1e12),
+    }
 
 
-def bench_reference_torch(N=1024, deg=16, T=8, H=128, heads=8, iters=3):
-    """Same workload through the reference GeometricAttention (CPU)."""
+def bench_train_step(iters=10):
+    """Full 10K training step (packed structure path, the recommended
+    config per CLAUDE.md) — benchmarks/bench_10k_step.py inline."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import tagan_tpu as tt
+
+    _enable_compile_cache()
+    rng = np.random.default_rng(0)
+    E = N * DEG
+    src = rng.integers(0, N, E).astype(np.int64)
+    dst = rng.integers(0, N, E).astype(np.int64)
+    snaps = [{"x": rng.standard_normal((N, 16)).astype(np.float32),
+              "edge_index": np.stack([src, dst]),
+              "node_ids": list(range(N)), "timestep": float(t)}
+             for t in range(T)]
+    cfg = tt.TAGANConfig(hidden_dim=HID, num_heads=HEADS, num_layers=2,
+                         node_feature_dim=16, output_dim=1,
+                         loss_type="bce", dropout=0.0,
+                         spatial_backend="flash")
+    model = tt.TAGAN(cfg)
+    tx = optax.adam(1e-3)
+    seq = jax.device_put(tt.build_sequence(
+        snaps, max_nodes=N, max_edges=E, max_time=T, dense_adj=True))
+    params = model.init(jax.random.key(0))
+    opt = tx.init(params)
+    lbl = jnp.asarray(1.0)
+
+    @jax.jit
+    def many(params, opt, seq):
+        def body(_, carry):
+            p, o = carry
+            loss, g = jax.value_and_grad(
+                lambda pp: model(pp, seq, lbl).loss)(p)
+            up, o = tx.update(g, o, p)
+            return optax.apply_updates(p, up), o
+        p, o = jax.lax.fori_loop(0, iters, body, (params, opt))
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(b.astype(jnp.float32)), p, 0.0)
+
+    float(many(params, opt, seq))
+    t0 = time.perf_counter()
+    float(many(params, opt, seq))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def bench_reference_torch():
+    """The SAME 10K workload through the reference GeometricAttention
+    (CPU — the only hardware it supports). One T-pass (~40 s)."""
     sys.path.insert(0, "/root/reference")
     import contextlib, io
     import torch
     with contextlib.redirect_stdout(io.StringIO()):
         from src.tagan.layers.geometric_attention import GeometricAttention
-        ref = GeometricAttention(hidden_dim=H, num_heads=heads, dropout=0.0,
-                                 distance_metric="scaled_dot_product").eval()
-    x_np, adj_np, n_edges = _workload(N, deg, T, H, heads)
+        ref = GeometricAttention(hidden_dim=HID, num_heads=HEADS,
+                                 dropout=0.0,
+                                 distance_metric="scaled_dot_product"
+                                 ).eval()
+    x_np, adj_np, n_edges = _workload()
     x = torch.tensor(x_np)
     mask = torch.tensor(adj_np.astype(np.float32))[None]
-
     with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
-        for t in range(T):       # warmup
+        ref(x[0:1], mask)                      # warm
+        t0 = time.perf_counter()
+        for t in range(T):                      # reference: one by one
             ref(x[t:t + 1], mask)
-        best = float("inf")      # best-of: robust to host CPU contention
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                for t in range(T):   # reference: snapshots one by one
-                    ref(x[t:t + 1], mask)
-            best = min(best, (time.perf_counter() - t0) / iters)
-    return n_edges / best
+        dt = time.perf_counter() - t0
+    return n_edges / dt
 
 
 def _torch_baseline_subprocess() -> float:
@@ -111,23 +205,30 @@ def _torch_baseline_subprocess() -> float:
     out = subprocess.run(
         [sys.executable, "-c",
          "import bench; print(bench.bench_reference_torch())"],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=420,
         cwd=os.path.dirname(os.path.abspath(__file__)))
     return float(out.stdout.strip().splitlines()[-1])
 
 
 def main():
-    edges_per_s, snaps_per_s = bench_tagan_tpu()
+    attn = bench_flash_attention()
+    step_ms = bench_train_step()
     try:
         ref_edges_per_s = _torch_baseline_subprocess()
-        vs = edges_per_s / ref_edges_per_s
+        vs = attn["edges_per_s"] / ref_edges_per_s
     except Exception:
         vs = 0.0
     print(json.dumps({
         "metric": "edges_per_sec_per_chip",
-        "value": round(edges_per_s, 1),
+        "value": round(attn["edges_per_s"], 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 2),
+        "config": f"N={N} deg={DEG} T={T} hidden={HID} heads={HEADS} "
+                  "flash fwd",
+        "layer_ms": round(attn["layer_ms"], 2),
+        "mxu_util": round(attn["mxu_util"], 4),
+        "mfu": round(attn["mfu"], 4),
+        "step_ms_10k": round(step_ms, 1),
     }))
 
 

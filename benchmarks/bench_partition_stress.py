@@ -1,0 +1,161 @@
+"""BASELINE config 5 (scaled-down validation): edge-partitioned stress.
+
+The real config — 1M nodes / 100M edges over N>=2 hosts — needs a pod
+slice this environment doesn't have (one chip, no multi-host). What CAN
+be validated here, per VERDICT round 1 item 2:
+
+  part A (virtual 8-device CPU mesh): one full training step through
+      spatial_backend="ring" with the boundary-only halo at 100K-node
+      scale — proves the >HBM-graph formulation executes end-to-end
+      with real shardings, and records the halo traffic accounting
+      (bytes full-ring vs boundary-ring, beta). Wall-clock on 2 host
+      cores is NOT a throughput claim.
+
+  part B (single real TPU chip): the per-chip memory-budget row of the
+      SCALING.md table — a 131K-node / 2M-edge snapshot sequence
+      through the O(E) csr backend (dense [N,N] anything is impossible
+      at this size), fwd+bwd+Adam, measured edges/s. This is the
+      workload one graph shard of the 1M-node config handles.
+
+    python benchmarks/bench_partition_stress.py cpu|tpu [quick]
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _snaps(N, deg, T, F, seed=0):
+    rng = np.random.default_rng(seed)
+    E = N * deg
+    src = rng.integers(0, N, E).astype(np.int64)
+    dst = rng.integers(0, N, E).astype(np.int64)
+    return [{"x": rng.standard_normal((N, F)).astype(np.float32),
+             "edge_index": np.stack([src, dst]),
+             "node_ids": list(range(N)), "timestep": float(t)}
+            for t in range(T)], E
+
+
+def part_a_cpu(quick=False):
+    _os.environ["XLA_FLAGS"] = (_os.environ.get("XLA_FLAGS", "") +
+                                " --xla_force_host_platform_device_count=8")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+    import tagan_tpu as tt
+    from tagan_tpu.dist.mesh import make_mesh
+    from tagan_tpu.dist.edge_partition import boundary_traffic_report
+
+    N, DEG, T, F, G = (4096 if quick else 98_304), 8, 2, 8, 8
+    snaps, E = _snaps(N, DEG, T, F)
+    t0 = time.time()
+    seq = tt.build_sequence(snaps, max_nodes=N, max_edges=E, max_time=T,
+                            dense_adj=False)
+    seq = seq.with_ring_plan(G, boundary=True)
+    host_s = time.time() - t0
+    Bp = int(seq.ring_bnd_idx.shape[-1])
+    per = N // G
+    rep = boundary_traffic_report(N, G, Bp, 2, 16, beta=Bp / per)
+    print(f"host packing+plan: {host_s:.0f}s, Bp={Bp}/{per} "
+          f"(beta_padded={Bp / per:.3f})", flush=True)
+
+    mesh = make_mesh(data=1, graph=G, devices=jax.devices("cpu")[:G])
+    cfg = tt.TAGANConfig(hidden_dim=32, num_heads=2, num_layers=1,
+                         node_feature_dim=F, output_dim=1,
+                         loss_type="bce", dropout=0.0,
+                         spatial_backend="ring", remat=True)
+    model = tt.TAGAN(cfg, mesh=mesh)
+    tx = optax.adam(1e-3)
+    params = model.init(jax.random.key(0))
+    opt = tx.init(params)
+    lbl = jnp.asarray(1.0)
+
+    @jax.jit
+    def step(p, o, s):
+        loss, g = jax.value_and_grad(lambda pp: model(pp, s, lbl).loss)(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    t0 = time.time()
+    p2, o2, loss = step(params, opt, seq)
+    loss = float(loss)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    _, _, loss2 = step(p2, o2, seq)
+    step_s = max(time.time() - t0, 1e-9)
+    assert np.isfinite(loss) and np.isfinite(float(loss2))
+    out = {
+        "part": "A ring+boundary on 8-virtual-CPU mesh",
+        "nodes": N, "edges_per_snapshot": E, "snapshots": T,
+        "shards": G, "loss": round(loss, 4),
+        "compile_s": round(compile_s, 1),
+        "step_s_cpu_2core": round(step_s, 2),
+        "edges_per_s_cpu": round(E * T / step_s, 0),
+        "halo_traffic": rep,
+    }
+    print(json.dumps(out))
+    return out
+
+
+def part_b_tpu(quick=False):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import tagan_tpu as tt
+
+    N, DEG, T, F = (8192 if quick else 131_072), 16, 2, 8
+    snaps, E = _snaps(N, DEG, T, F)
+    seq = tt.build_sequence(snaps, max_nodes=N, max_edges=E, max_time=T,
+                            dense_adj=False)
+    seq = jax.device_put(seq)
+    cfg = tt.TAGANConfig(hidden_dim=64, num_heads=4, num_layers=2,
+                         node_feature_dim=F, output_dim=1,
+                         loss_type="bce", dropout=0.0,
+                         spatial_backend="csr", remat=True)
+    model = tt.TAGAN(cfg)
+    tx = optax.adam(1e-3)
+    params = model.init(jax.random.key(0))
+    opt = tx.init(params)
+    lbl = jnp.asarray(1.0)
+    ITERS = 2 if quick else 5
+
+    @jax.jit
+    def many(p, o, s):
+        def body(_, carry):
+            p, o = carry
+            loss, g = jax.value_and_grad(
+                lambda pp: model(pp, s, lbl).loss)(p)
+            up, o = tx.update(g, o, p)
+            return optax.apply_updates(p, up), o
+        p, o = jax.lax.fori_loop(0, ITERS, body, (p, o))
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(b.astype(jnp.float32)), p, 0.0)
+
+    chk = float(many(params, opt, seq))
+    assert np.isfinite(chk)
+    t0 = time.perf_counter()
+    float(many(params, opt, seq))
+    dt = (time.perf_counter() - t0) / ITERS
+    out = {
+        "part": "B 131K-node csr single chip (one 1M/8 graph shard)",
+        "nodes": N, "edges_per_snapshot": E, "snapshots": T,
+        "ms_per_step": round(dt * 1e3, 1),
+        "edges_per_s": round(E * T / dt, 0),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "cpu"
+    quick = "quick" in sys.argv[2:]
+    res = part_a_cpu(quick) if which == "cpu" else part_b_tpu(quick)
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         f"results_partition_{which}.json")
+    with open(path, "w") as f:
+        json.dump(res, f, indent=1)

@@ -1,0 +1,106 @@
+"""BASELINE config 4: TGN-style temporal interaction graph at
+Wikipedia/Reddit scale (~10K nodes, ~600K temporal events) with recency
+neighbor sampling per snapshot — training throughput + accuracy on the
+state-change prediction task, single chip.
+
+    python benchmarks/bench_tgn.py [quick]
+
+Stream -> sliding-window sequences via data.tgn (the loader BASELINE
+names); label = whether the window contains a state change (rate tuned
+for class balance). Reports events/s through training, epoch time, and
+val/test accuracy/F1/AUC; dumps results_tgn.json.
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import tagan_tpu as tt
+from tagan_tpu.data.dataset import TemporalGraphDataLoader, pad_dims_for
+from tagan_tpu.data.tgn import create_tgn_synthetic, stream_to_sequences
+from tagan_tpu.train.trainer import TAGANTrainer
+
+QUICK = len(sys.argv) > 1 and sys.argv[1] == "quick"
+
+if QUICK:
+    N_USERS, N_ITEMS, N_EVENTS = 300, 150, 20_000
+    EPOCHS, SNAPSHOTS = 2, 6
+else:
+    N_USERS, N_ITEMS, N_EVENTS = 9_000, 4_000, 600_000
+    EPOCHS, SNAPSHOTS = 3, 8
+
+
+def main():
+    t0 = time.time()
+    stream = create_tgn_synthetic(
+        num_users=N_USERS, num_items=N_ITEMS, num_events=N_EVENTS,
+        time_span=1e6, edge_feat_dim=4,
+        # ~45% positive windows at ~3K events/window
+        state_change_rate=0.6 / (N_EVENTS / 200.0), seed=0)
+    span = 1e6 / 200.0            # ~200 windows over the stream
+    ds = stream_to_sequences(stream, num_snapshots=SNAPSHOTS,
+                             seq_span=span, stride=span, max_degree=16,
+                             node_feature_dim=8)
+    n_pos = sum(1 for l in ds.labels if l > 0.5)
+    print(f"stream: {stream.num_events} events, {stream.num_nodes} nodes"
+          f" -> {len(ds)} sequences ({n_pos} positive)"
+          f" [{time.time() - t0:.0f}s host-side]", flush=True)
+
+    train_ds, val_ds, test_ds = ds.split((0.7, 0.15, 0.15), seed=0)
+    Tm, Nm, Em, Fe = pad_dims_for(ds.sequences)
+    kw = dict(max_time=Tm, max_nodes=Nm, max_edges=max(Em, 1),
+              edge_feature_dim=Fe, batch_size=8)
+    print(f"padded dims: T={Tm} N={Nm} E={Em} Fe={Fe}", flush=True)
+
+    cfg = tt.TAGANConfig(
+        hidden_dim=64, num_heads=4, num_layers=2, node_feature_dim=8,
+        edge_feature_dim=Fe, use_edge_features=Fe > 0, output_dim=1,
+        loss_type="bce", dropout=0.1, learning_rate=1e-3,
+        spatial_backend="csr" if Nm > 4096 else "dense")
+    exp = tt.ExperimentConfig(model=cfg, batch_size=8,
+                              num_epochs=EPOCHS, checkpoint_dir="",
+                              early_stopping_patience=EPOCHS + 1)
+    trainer = TAGANTrainer(tt.TAGAN(cfg), exp)
+    train_loader = TemporalGraphDataLoader(train_ds, shuffle=True,
+                                           seed=0, **kw)
+    val_loader = TemporalGraphDataLoader(val_ds, **kw)
+    test_loader = TemporalGraphDataLoader(test_ds, **kw)
+
+    # count real (unpadded) training events per epoch
+    ev_per_epoch = sum(
+        int(np.asarray(s.edge_mask).sum()) for s in (
+            tt.build_sequence(x, max_nodes=Nm, max_edges=max(Em, 1),
+                              max_time=Tm, edge_feature_dim=Fe)
+            for x in train_ds.sequences))
+
+    t0 = time.time()
+    res = trainer.train(train_loader, val_loader, num_epochs=EPOCHS,
+                        checkpoint_dir="", verbose=True)
+    dt = time.time() - t0
+    test_metrics = trainer.test(test_loader)   # includes roc_auc
+
+    out = {
+        "config": f"users={N_USERS} items={N_ITEMS} events={N_EVENTS} "
+                  f"snapshots={SNAPSHOTS} maxdeg=16 hidden=64",
+        "sequences": len(ds),
+        "padded_dims": {"T": Tm, "N": Nm, "E": Em},
+        "train_events_per_epoch": ev_per_epoch,
+        "epochs": EPOCHS,
+        "train_seconds": round(dt, 1),
+        "events_per_sec_train": round(ev_per_epoch * EPOCHS / dt, 0),
+        "best_val_f1": round(res["best_metric"], 4),
+        "test": {k: round(float(v), 4) for k, v in test_metrics.items()},
+    }
+    print(json.dumps(out))
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "results_tgn.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -150,3 +150,57 @@ def create_dynamic_synthetic_data(
         label = float(labels[i]) if num_classes == 2 else int(labels[i])
         data.append((seq, label))
     return data
+
+
+def create_order_churn_data(
+    num_samples: int = 100,
+    num_nodes_range: Tuple[int, int] = (10, 16),
+    num_edges_per_node: int = 2,
+    node_feature_dim: int = 10,
+    sequence_length: int = 8,
+    signal: float = 1.0,
+    churn_prob: float = 0.3,
+    reappear_prob: float = 0.5,
+    seed: Optional[int] = None,
+):
+    """Churn data whose label is encoded in TEMPORAL ORDER: class 1
+    sequences carry +signal on feature 0 in the first half and -signal
+    in the second half; class 0 the reverse. The time-mean of the
+    signal is ~0 for both classes, so any pipeline that pools over time
+    without temporal structure (un-timed attention + unmasked mean —
+    the reference's executed path, SURVEY B2/B4) sees no first-order
+    signal; recovering the label requires the causal/time-aware
+    machinery (time encodings, causal masks, temporal propagation with
+    the memory bank carrying state across churn gaps). The benchmark
+    task for VERDICT round-1 item 5 (benchmarks/accuracy_churn.py)."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 2, size=num_samples).tolist()
+    data = []
+    half = sequence_length // 2
+    for i in range(num_samples):
+        n = int(rng.integers(num_nodes_range[0], num_nodes_range[1] + 1))
+        base_ei = barabasi_albert_edges(n, num_edges_per_node, rng)
+        base_ei = np.concatenate([base_ei, base_ei[::-1]], axis=1)
+        active = np.ones(n, bool)
+        sign0 = 1.0 if labels[i] == 1 else -1.0
+        seq = []
+        for t in range(sequence_length):
+            flips_out = rng.random(n) < churn_prob
+            flips_in = rng.random(n) < reappear_prob
+            active = np.where(active, ~flips_out, flips_in)
+            if not active.any():
+                active[rng.integers(n)] = True
+            ids = np.flatnonzero(active)
+            id_pos = {int(g): k for k, g in enumerate(ids)}
+            keep = np.isin(base_ei[0], ids) & np.isin(base_ei[1], ids)
+            ei_g = base_ei[:, keep]
+            ei = np.asarray([[id_pos[int(a)] for a in ei_g[0]],
+                             [id_pos[int(b)] for b in ei_g[1]]],
+                            dtype=np.int64).reshape(2, -1)
+            x = rng.standard_normal(
+                (len(ids), node_feature_dim)).astype(np.float32)
+            s = sign0 * signal * (1.0 if t < half else -1.0)
+            x[:, 0] += s
+            seq.append((x, ei, None, [int(g) for g in ids]))
+        data.append((seq, float(labels[i])))
+    return data

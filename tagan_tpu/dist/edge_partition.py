@@ -52,27 +52,26 @@ def partition_edges_by_query(
     eq = np.asarray(edge_q)
     ek = np.asarray(edge_k)
     em = np.asarray(edge_mask).astype(bool)
-    owner = eq // per
-    buckets_q, buckets_k = [], []
-    for s in range(num_shards):
-        sel = em & (owner == s)
-        buckets_q.append(eq[sel])
-        buckets_k.append(ek[sel])
-    Ep = max_edges_per_shard or max((len(b) for b in buckets_q),
-                                    default=1) or 1
-    out_q = np.zeros((num_shards, Ep), np.int32)
-    out_k = np.zeros((num_shards, Ep), np.int32)
+    # one argsort groups edges by owner — O(E log E), no per-shard scans
+    owner = (eq[em] // per).astype(np.int64)
+    vq, vk = eq[em], ek[em]
+    order = np.argsort(owner, kind="stable")
+    owner, vq, vk = owner[order], vq[order], vk[order]
+    counts = np.bincount(owner, minlength=num_shards)
+    Ep = max_edges_per_shard or max(int(counts.max(initial=0)), 1)
+    if counts.max(initial=0) > Ep:
+        s = int(np.argmax(counts))
+        raise ValueError(
+            f"shard {s} has {counts[s]} edges > max_edges_per_shard={Ep}")
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(owner)) - starts[owner]     # slot within shard
+    base = (np.arange(num_shards) * per)[:, None]
+    out_q = np.broadcast_to(base, (num_shards, Ep)).astype(np.int32).copy()
+    out_k = out_q.copy()          # padded edges point at owned slot 0
     out_m = np.zeros((num_shards, Ep), bool)
-    for s in range(num_shards):
-        n = len(buckets_q[s])
-        if n > Ep:
-            raise ValueError(
-                f"shard {s} has {n} edges > max_edges_per_shard={Ep}")
-        out_q[s, :n] = buckets_q[s]
-        out_k[s, :n] = buckets_k[s]
-        out_m[s, :n] = True
-        out_q[s, n:] = s * per     # padded edges point at owned slot 0
-        out_k[s, n:] = s * per
+    out_q[owner, pos] = vq
+    out_k[owner, pos] = vk
+    out_m[owner, pos] = True
     return out_q, out_k, out_m, Ep
 
 
@@ -137,30 +136,32 @@ def partition_edges_by_query_and_key(
     """
     assert num_nodes % num_shards == 0
     per = num_nodes // num_shards
+    G = num_shards
     eq = np.asarray(edge_q)
     ek = np.asarray(edge_k)
     em = np.asarray(edge_mask).astype(bool)
-    qo = eq // per
-    ko = ek // per
-    buckets = {}
-    for gq in range(num_shards):
-        for gk in range(num_shards):
-            sel = em & (qo == gq) & (ko == gk)
-            buckets[(gq, gk)] = (eq[sel], ek[sel])
-    Ep = max_edges_per_bucket or max(
-        (len(b[0]) for b in buckets.values()), default=1) or 1
-    out_q = np.zeros((num_shards, num_shards, Ep), np.int32)
-    out_k = np.zeros((num_shards, num_shards, Ep), np.int32)
-    out_m = np.zeros((num_shards, num_shards, Ep), bool)
-    for (gq, gk), (bq, bk) in buckets.items():
-        n = len(bq)
-        if n > Ep:
-            raise ValueError(f"bucket ({gq},{gk}) has {n} edges > {Ep}")
-        out_q[gq, gk, :n] = bq
-        out_k[gq, gk, :n] = bk
-        out_m[gq, gk, :n] = True
-        out_q[gq, gk, n:] = gq * per
-        out_k[gq, gk, n:] = gk * per
+    # one argsort groups edges by (query-owner, key-owner) bucket —
+    # O(E log E) instead of G^2 boolean scans of the full edge list
+    vq, vk = eq[em], ek[em]
+    bucket = (vq // per) * G + (vk // per)
+    order = np.argsort(bucket, kind="stable")
+    bucket, vq, vk = bucket[order], vq[order], vk[order]
+    counts = np.bincount(bucket, minlength=G * G)
+    Ep = max_edges_per_bucket or max(int(counts.max(initial=0)), 1)
+    if counts.max(initial=0) > Ep:
+        b = int(np.argmax(counts))
+        raise ValueError(
+            f"bucket ({b // G},{b % G}) has {counts[b]} edges > {Ep}")
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(bucket)) - starts[bucket]
+    gq_base = (np.arange(G) * per)[:, None, None]
+    gk_base = (np.arange(G) * per)[None, :, None]
+    out_q = np.broadcast_to(gq_base, (G, G, Ep)).astype(np.int32).copy()
+    out_k = np.broadcast_to(gk_base, (G, G, Ep)).astype(np.int32).copy()
+    out_m = np.zeros((G, G, Ep), bool)
+    out_q[bucket // G, bucket % G, pos] = vq
+    out_k[bucket // G, bucket % G, pos] = vk
+    out_m[bucket // G, bucket % G, pos] = True
     return out_q, out_k, out_m, Ep
 
 
@@ -368,15 +369,12 @@ def make_boundary_plan(
     G = num_shards
     ek = np.asarray(ring_ek)
     em = np.asarray(ring_em).astype(bool)
+    off_diag = ~np.eye(G, dtype=bool)
     exports = []
     for gk in range(G):
-        keys = set()
-        for gq in range(G):
-            if gq == gk:
-                continue
-            sel = em[gq, gk]
-            keys.update((ek[gq, gk][sel] - gk * per).tolist())
-        exports.append(sorted(keys))
+        sel = em[off_diag[:, gk], gk]                # [G-1, Ep] valid
+        keys = ek[off_diag[:, gk], gk][sel] - gk * per
+        exports.append(np.unique(keys))
     Bp = max_boundary or max(1, max((len(e) for e in exports),
                                     default=1))
     bnd_idx = np.zeros((G, Bp), np.int32)
@@ -388,15 +386,13 @@ def make_boundary_plan(
                 f"shard {gk} exports {len(exp)} boundary nodes > "
                 f"max_boundary={Bp}")
         bnd_idx[gk, :len(exp)] = exp
-        pos = {v: i for i, v in enumerate(exp)}
-        for gq in range(G):
-            loc = ek[gq, gk] - gk * per
-            if gq == gk:
-                ek_local[gq, gk] = np.where(em[gq, gk], loc, 0)
-            else:
-                remap = np.asarray([pos.get(int(x), 0) for x in loc],
-                                   ek.dtype)
-                ek_local[gq, gk] = np.where(em[gq, gk], remap, 0)
+        loc = ek[:, gk] - gk * per                   # [G, Ep]
+        # off-diagonal: position in the sorted boundary list
+        remap = np.searchsorted(exp, loc) if len(exp) else \
+            np.zeros_like(loc)
+        remap = np.clip(remap, 0, max(len(exp) - 1, 0))
+        local = np.where(off_diag[:, gk][:, None], remap, loc)
+        ek_local[:, gk] = np.where(em[:, gk], local, 0)
     beta = float(np.mean([len(e) for e in exports]) / per)
     return bnd_idx, ek_local, Bp, beta
 
