@@ -141,12 +141,35 @@ def interactive_temporal_graph(graph_sequence, title: str = "Temporal graph",
         g.add_nodes_from(range(len(ids)))
         g.add_edges_from(ei.T.tolist())
         pos = nx.spring_layout(g, seed=0)
+        # edge segments (None-separated polyline, the plotly idiom —
+        # reference temporal_vis.py:715 draws edges per frame too)
+        ex, ey = [], []
+        for a, b in g.edges():
+            ex += [pos[a][0], pos[b][0], None]
+            ey += [pos[a][1], pos[b][1], None]
         xs = [pos[n][0] for n in g.nodes()]
         ys = [pos[n][1] for n in g.nodes()]
+        color = x[:, 0] if x.size else None
         frames.append(go.Frame(
-            data=[go.Scatter(x=xs, y=ys, mode="markers")], name=str(t)))
+            data=[go.Scatter(x=ex, y=ey, mode="lines",
+                             line=dict(width=0.7, color="#999"),
+                             hoverinfo="none"),
+                  go.Scatter(x=xs, y=ys, mode="markers",
+                             marker=dict(size=7, color=color,
+                                         colorscale="Viridis"),
+                             text=[str(i) for i in ids])],
+            name=str(t)))
     fig = go.Figure(data=frames[0].data, frames=frames)
-    fig.update_layout(title=title)
+    steps = [dict(args=[[f.name],
+                        dict(frame=dict(duration=0, redraw=True),
+                             mode="immediate")],
+                  label=f.name, method="animate") for f in frames]
+    fig.update_layout(
+        title=title, showlegend=False,
+        sliders=[dict(steps=steps, currentvalue=dict(prefix="t="))],
+        updatemenus=[dict(type="buttons", buttons=[dict(
+            label="Play", method="animate",
+            args=[None, dict(frame=dict(duration=400))])])])
     if save_path:
         fig.write_html(save_path)
     return fig
