@@ -761,7 +761,9 @@ def _biased_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
                           true_d: int, bf16: bool, dropout_rate: float,
                           block_m: int, block_n: int, need_dscale: bool):
     """Walk B: dq (+ dscale) over the forward plan, consuming walk A's
-    delta1."""
+    delta1 (full [BM, H] block; the head column is one-hot selected —
+    a (BM, 1) lane slice of an [Np, H] array violates the TPU 8x128
+    block rule)."""
     if need_dscale:
         dq_ref, dsc_ref, acc_ref, dsc_acc = rest
     else:
@@ -770,6 +772,12 @@ def _biased_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
     j = pl.program_id(2)
     i = pl.program_id(1)
     h = pl.program_id(0)
+
+    if need_dscale:
+        @pl.when(jnp.logical_and(h == 0,
+                                 jnp.logical_and(i == 0, j == 0)))
+        def _zero_dsc():
+            dsc_ref[:] = jnp.zeros_like(dsc_ref)
 
     @pl.when(j == 0)
     def _init():
@@ -789,7 +797,11 @@ def _biased_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
             lse1_ref[0], lse2_ref[0], delta2_ref[0], scale, true_d,
             bf16, seeds_ref, h, row0, col0, block_m, block_n,
             dropout_rate)
-        ds = w1 * (dw1 - delta1_ref[:])          # [BM, BN]
+        d1row = jnp.sum(
+            delta1_ref[:] * (jax.lax.broadcasted_iota(
+                jnp.int32, delta1_ref.shape, 1) == h),
+            axis=1, keepdims=True)
+        ds = w1 * (dw1 - d1row)          # [BM, BN]
         acc_ref[:] = acc_ref[:] + _chain_dq(metric, ds, s, sq, qk, q, k,
                                             scale, true_d, bf16)
         if need_dscale:
@@ -802,7 +814,12 @@ def _biased_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
     def _fin():
         dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
         if need_dscale:
-            dsc_ref[:] = dsc_acc[:]
+            hot = jnp.logical_and(
+                jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
+                == h,
+                jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
+                == i)
+            dsc_ref[:] = dsc_ref[:] + jnp.where(hot, dsc_acc[0, 0], 0.0)
 
 
 def _biased_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seeds_ref,
@@ -834,7 +851,11 @@ def _biased_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seeds_ref,
             lse1_ref[0], lse2_ref[0], delta2_ref[0], scale, true_d,
             bf16, seeds_ref, h, row0, col0, block_m, block_n,
             dropout_rate)
-        ds = w1 * (dw1 - delta1_ref[:])
+        d1row = jnp.sum(
+            delta1_ref[:] * (jax.lax.broadcasted_iota(
+                jnp.int32, delta1_ref.shape, 1) == h),
+            axis=1, keepdims=True)
+        ds = w1 * (dw1 - d1row)
         dv_acc[:] = dv_acc[:] + _dot(w2d.T, do_ref[0], bf16)
         dk_acc[:] = dk_acc[:] + _chain_dk(metric, ds, s, sq, qk, q, k,
                                           scale, true_d, bf16)
@@ -1041,7 +1062,10 @@ def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
     """dq accumulation over a compacted walk of occupied key blocks
     (same block-sparsity plan as the forward). With `need_dscale`, also
     reduces d(sigma)/d(gamma) per (head, query-block) into a second
-    output (summed outside)."""
+    output (summed outside). That output's block is the FULL [H, n_i]
+    array (constant index map, one-hot accumulate): a (1, 1) block
+    fails the TPU lowering's 8x128 divisibility rule — caught on
+    hardware, invisible in interpret mode."""
     if need_dscale:
         dq_ref, dsc_ref, acc_ref, dsc_acc = rest
     else:
@@ -1050,6 +1074,12 @@ def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
     j = pl.program_id(2)
     i = pl.program_id(1)
     h = pl.program_id(0)
+
+    if need_dscale:
+        @pl.when(jnp.logical_and(h == 0,
+                                 jnp.logical_and(i == 0, j == 0)))
+        def _zero_dsc():
+            dsc_ref[:] = jnp.zeros_like(dsc_ref)
 
     @pl.when(j == 0)
     def _init():
@@ -1087,7 +1117,14 @@ def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
     def _fin():
         dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
         if need_dscale:
-            dsc_ref[:] = dsc_acc[:]
+            # one-hot accumulate into the resident full block (grid
+            # cells run sequentially on the core, so RMW is safe)
+            hot = jnp.logical_and(
+                jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
+                == h,
+                jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
+                == i)
+            dsc_ref[:] = dsc_ref[:] + jnp.where(hot, dsc_acc[0, 0], 0.0)
 
 
 def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seed_ref,
@@ -1205,8 +1242,11 @@ def flash_geometric_attention_bwd(
     dq_out_shape = jax.ShapeDtypeStruct((H, Np, Dp), q.dtype)
     dq_scratch = [pltpu.VMEM((block_m, Dp), jnp.float32)]
     if need_dscale:
+        # FULL-array block (constant index map) — (1, 1) blocks violate
+        # the TPU 8x128 divisibility rule; the kernel one-hot
+        # accumulates into the resident buffer
         dq_out_specs = (dq_out_specs,
-                        pl.BlockSpec((1, 1), lambda h, i, j, *_: (h, i),
+                        pl.BlockSpec((H, n_i), lambda h, i, j, *_: (0, 0),
                                      memory_space=pltpu.VMEM))
         dq_out_shape = (dq_out_shape,
                         jax.ShapeDtypeStruct((H, n_i), jnp.float32))
@@ -1486,13 +1526,15 @@ def flash_biased_attention_bwd(
     b_k = _b((1, block_n, Dp), lambda h, i, j, jl, *_: (h, jl[i, j], 0))
     b_m = _b((block_m, block_n), lambda h, i, j, jl, *_: (i, jl[i, j]))
     b_row = _b((1, block_m, 1), lambda h, i, j, *_: (h, i, 0))
-    b_d1 = _b((block_m, 1), lambda h, i, j, *_: (i, h))
+    b_d1 = _b((block_m, H), lambda h, i, j, *_: (i, 0))
     out_specs = b_q
     out_shape = jax.ShapeDtypeStruct((H, Np, Dp), q.dtype)
     scratch = [pltpu.VMEM((block_m, Dp), jnp.float32)]
     if need_dscale:
+        # full-array block, one-hot accumulated in-kernel (TPU 8x128
+        # block rule forbids (1, 1) blocks)
         out_specs = (out_specs,
-                     _b((1, 1), lambda h, i, j, *_: (h, i)))
+                     _b((H, n_i), lambda h, i, j, *_: (0, 0)))
         out_shape = (out_shape, jax.ShapeDtypeStruct((H, n_i),
                                                      jnp.float32))
         scratch.append(pltpu.VMEM((1, 1), jnp.float32))
@@ -1519,7 +1561,7 @@ def flash_biased_attention_bwd(
     c_kv = _b((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0))
     c_m = _b((block_m, block_n), lambda h, j, i, il, *_: (il[j, i], j))
     c_row = _b((1, block_m, 1), lambda h, j, i, il, *_: (h, il[j, i], 0))
-    c_d1 = _b((block_m, 1), lambda h, j, i, il, *_: (il[j, i], h))
+    c_d1 = _b((block_m, H), lambda h, j, i, il, *_: (il[j, i], 0))
     dk, dv = pl.pallas_call(
         functools.partial(_biased_bwd_dkv_kernel, n_i=n_walk_i, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
