@@ -8,6 +8,16 @@ import sys
 import time
 
 import numpy as np
+
+def _cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tagan_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+_cache()
+
 import jax
 import jax.numpy as jnp
 import optax

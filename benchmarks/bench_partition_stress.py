@@ -28,6 +28,16 @@ import time
 
 import numpy as np
 
+def _cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tagan_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+_cache()
+
+
 
 def _snaps(N, deg, T, F, seed=0):
     rng = np.random.default_rng(seed)

@@ -19,6 +19,16 @@ import time
 
 import numpy as np
 
+def _cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tagan_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+_cache()
+
+
 import tagan_tpu as tt
 from tagan_tpu.data.dataset import TemporalGraphDataLoader, pad_dims_for
 from tagan_tpu.data.tgn import create_tgn_synthetic, stream_to_sequences
