@@ -48,9 +48,11 @@ def main():
     t0 = time.time()
     stream = create_tgn_synthetic(
         num_users=N_USERS, num_items=N_ITEMS, num_events=N_EVENTS,
-        time_span=1e6, edge_feat_dim=4,
-        # ~45% positive windows at ~3K events/window
-        state_change_rate=0.6 / (N_EVENTS / 200.0), seed=0)
+        time_span=1e6, edge_feat_dim=4, state_change_rate=0.0,
+        # learnable churn-burst labels: ~45% of the 200 windows contain
+        # one user's labeled activity burst (observable degree spike)
+        num_churn_bursts=90 if not QUICK else 12,
+        burst_len=24, burst_span=1e6 / 400.0, seed=0)
     span = 1e6 / 200.0            # ~200 windows over the stream
     ds = stream_to_sequences(stream, num_snapshots=SNAPSHOTS,
                              seq_span=span, stride=span, max_degree=16,
@@ -66,11 +68,14 @@ def main():
               edge_feature_dim=Fe, batch_size=8)
     print(f"padded dims: T={Tm} N={Nm} E={Em} Fe={Fe}", flush=True)
 
+    # csr/flash: the sparse edge-bias paths — the dense backend would
+    # build the [B, T, N, N, hidden] edge-feature tensor (23 GB here)
+    backend = _os.environ.get("BACKEND", "csr")
     cfg = tt.TAGANConfig(
         hidden_dim=64, num_heads=4, num_layers=2, node_feature_dim=8,
         edge_feature_dim=Fe, use_edge_features=Fe > 0, output_dim=1,
         loss_type="bce", dropout=0.1, learning_rate=1e-3,
-        spatial_backend="csr" if Nm > 4096 else "dense")
+        spatial_backend=backend)
     exp = tt.ExperimentConfig(model=cfg, batch_size=8,
                               num_epochs=EPOCHS, checkpoint_dir="",
                               early_stopping_patience=EPOCHS + 1)

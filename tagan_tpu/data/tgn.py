@@ -89,10 +89,22 @@ def create_tgn_synthetic(num_users: int = 1000, num_items: int = 500,
                          num_events: int = 50000, time_span: float = 1e6,
                          edge_feat_dim: int = 4,
                          state_change_rate: float = 0.002,
+                         num_churn_bursts: int = 0,
+                         burst_len: int = 24,
+                         burst_span: float = 0.0,
                          seed: int = 0) -> TemporalInteractionStream:
     """Bipartite interaction stream with power-law item popularity and
     bursty user repeat behavior — the statistical shape of the JODIE
-    datasets, generated offline."""
+    datasets, generated offline.
+
+    ``state_change_rate`` labels random events positive (unlearnable
+    noise — fine for throughput runs). For an accuracy-meaningful task
+    set ``num_churn_bursts`` > 0: that many users emit a tight burst of
+    ``burst_len`` interactions within ``burst_span`` seconds at a random
+    churn time, and exactly those events carry label 1 — the signature
+    (an activity spike of one user) is observable in the degree
+    features, so windows containing a burst are predictably positive
+    (the state-change-before-churn task JODIE/TGN evaluate)."""
     rng = np.random.default_rng(seed)
     item_pop = rng.zipf(1.5, num_items).astype(np.float64)
     item_pop /= item_pop.sum()
@@ -113,6 +125,27 @@ def create_tgn_synthetic(num_users: int = 1000, num_items: int = 500,
     t = np.sort(rng.random(num_events)) * time_span
     fe = rng.standard_normal((num_events, edge_feat_dim)).astype(np.float32)
     label = (rng.random(num_events) < state_change_rate).astype(np.float32)
+
+    if num_churn_bursts > 0:
+        span = burst_span or time_span / 1000.0
+        churners = rng.choice(num_users, num_churn_bursts, replace=False)
+        b_src, b_dst, b_t = [], [], []
+        for u in churners:
+            t_c = rng.random() * (time_span - span)
+            b_src.extend([u] * burst_len)
+            b_dst.extend(rng.choice(num_items, burst_len,
+                                    p=item_pop).tolist())
+            b_t.extend((t_c + np.sort(rng.random(burst_len)) * span)
+                       .tolist())
+        src = np.concatenate([src, np.asarray(b_src)])
+        dst = np.concatenate([dst, np.asarray(b_dst)])
+        t = np.concatenate([t, np.asarray(b_t)])
+        fe = np.concatenate(
+            [fe, rng.standard_normal((len(b_src), edge_feat_dim))
+             .astype(np.float32)])
+        label = np.concatenate(
+            [label, np.ones(len(b_src), np.float32)])
+
     return TemporalInteractionStream(
         src=src.astype(np.int64),
         dst=(dst + num_users).astype(np.int64), t=t, edge_feat=fe,

@@ -236,7 +236,12 @@ class TAGAN:
             if use_flash:
                 from ..ops.pallas.flash_geometric import (
                     make_block_plans_from_edges, make_block_plans_from_mask)
-                BM, BN = 512, 1024  # apply_flash defaults
+                # 256-row blocks when edge bias is active: the biased
+                # backward's combined delta1+dB walk carries two extra
+                # [BM, BN] f32 buffers (bias in, dbias out) and blows
+                # the 16 MB VMEM budget at 512x1024 (measured on v5e)
+                BM = 256 if want_edge_bias else 512
+                BN = 1024
 
                 def _mask_and_plans(eq, ek, em, nm, adj_t):
                     # self loops (for live nodes) go in via a fused

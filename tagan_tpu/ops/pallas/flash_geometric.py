@@ -180,11 +180,57 @@ LSE_DEAD = 1e30   # stored logsumexp for rows with no valid edges:
                   # exp(s - LSE_DEAD) underflows to exactly 0 in backward
 
 
+# ---------------------------------------------------------------------------
+# Bit-packed masks: 8 key columns per byte, interleaved per key block
+# ---------------------------------------------------------------------------
+
+# Opt-in: bit-packed masks trade VPU unpack passes for 1/8 the mask
+# HBM traffic/residency. MEASURED on v5e at the 10K bench config: the
+# forward is compute-bound, so packing is ~18% SLOWER (23.6 vs 19.2 ms
+# per T-pass) — hence default OFF; flip on when the mask's HBM
+# footprint is the binding constraint (very large N with dense_adj).
+PACK_MASKS = False
+
+
+def _mask_packable(Np: int, block_n: int) -> bool:
+    """Packed mask blocks are [BM, BN/8] int8 — legal on TPU only when
+    the lane dim BN/8 is 128-divisible (BN % 1024 == 0) or spans the
+    full packed row (single key block)."""
+    return PACK_MASKS and (block_n % 1024 == 0 or Np == block_n)
+
+
+def _pack_mask(mask: jax.Array, block_n: int) -> jax.Array:
+    """Bit-pack [.., N] key columns 8x: within each block_n-wide key
+    block, natural column j lands in bit j // (block_n//8) of byte
+    j % (block_n//8). This interleave is exactly what the kernel's
+    `pltpu.repeat` (tile semantics) + one shift/and unpacks — masks cost
+    1/8 the HBM traffic and residency of the int8 form."""
+    Np = mask.shape[-1]
+    n_j = Np // block_n
+    m = (mask != 0).astype(jnp.int32)
+    m = m.reshape(*mask.shape[:-1], n_j, 8, block_n // 8)
+    w = (jnp.int32(1) << jnp.arange(8, dtype=jnp.int32))[:, None]
+    p = jnp.sum(m * w, axis=-2)
+    return p.reshape(*mask.shape[:-1], Np // 8).astype(jnp.int8)
+
+
+def _mask_bits(mask_val: jax.Array, packed: bool) -> jax.Array:
+    """In-kernel: packed [BM, BN/8] int8 block -> int32 0/1 [BM, BN]
+    (or pass the int8 mask through unchanged when not packed — the
+    consumers only test `!= 0`)."""
+    if not packed:
+        return mask_val
+    bm, bn8 = mask_val.shape
+    rep = pltpu.repeat(mask_val.astype(jnp.int32), 8, axis=1)
+    bit = jax.lax.broadcasted_iota(jnp.int32, (bm, bn8 * 8), 1) // bn8
+    return (rep >> bit) & 1
+
+
 def _flash_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
                   q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                   acc_ref, m_ref, l_ref, *, metric: str, n_j: int,
                   true_d: int, bf16: bool, dropout_rate: float,
-                  block_m: int, block_n: int):
+                  block_m: int, block_n: int, packed: bool = False):
     """Block-sparse flash body. The grid's j axis walks a *compacted*
     list of occupied key blocks (scalar-prefetched `jlist` drives the
     k/v/mask index maps, so empty blocks cost neither DMA nor compute;
@@ -205,7 +251,7 @@ def _flash_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
         q = q_ref[0]          # [BM, D]
         k = k_ref[0]          # [BN, D]
         v = v_ref[0]          # [BN, D]
-        mask = mask_ref[:]    # [BM, BN] int8
+        mask = _mask_bits(mask_ref[:], packed)   # [BM, BN]
 
         s = _block_scores(metric, q, k, scale_ref[h], true_d, bf16)
         s = jnp.where(mask != 0, s, NEG_INF)
@@ -578,7 +624,7 @@ def flash_geometric_attention(
 
 def _lse1_kernel(jlist_ref, jcount_ref, scale_ref, q_ref, k_ref, mask_ref,
                  lse_ref, m_ref, l_ref, *, metric: str, n_j: int,
-                 true_d: int, bf16: bool):
+                 true_d: int, bf16: bool, packed: bool = False):
     """First-softmax logsumexp only (no PV matmul) — feeds the biased
     main walk, which reconstructs w1 = exp(s - lse1) blockwise."""
     j = pl.program_id(2)
@@ -594,7 +640,8 @@ def _lse1_kernel(jlist_ref, jcount_ref, scale_ref, q_ref, k_ref, mask_ref,
     def _compute():
         s = _block_scores(metric, q_ref[0], k_ref[0], scale_ref[h],
                           true_d, bf16)
-        s = jnp.where(mask_ref[:] != 0, s, NEG_INF)
+        s = jnp.where(_mask_bits(mask_ref[:], packed) != 0, s,
+                      NEG_INF)
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         l_ref[:] = l_ref[:] * jnp.exp(m_prev - m_new) + \
@@ -629,7 +676,8 @@ def _flash_biased_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
                          q_ref, k_ref, v_ref, mask_ref, bias_ref, lse1_ref,
                          o_ref, lse2_ref, acc_ref, m_ref, l_ref, *,
                          metric: str, n_j: int, true_d: int, bf16: bool,
-                         dropout_rate: float, block_m: int, block_n: int):
+                         dropout_rate: float, block_m: int, block_n: int,
+                         packed: bool = False):
     """Biased main walk: streaming softmax over z = drop1(w1) + B with
     the same block-sparsity plan as the lse1 walk."""
     j = pl.program_id(2)
@@ -644,7 +692,7 @@ def _flash_biased_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
 
     @pl.when(j < jcount_ref[i])
     def _compute():
-        mask = mask_ref[:]
+        mask = _mask_bits(mask_ref[:], packed)
         row0 = i * block_m
         col0 = jlist_ref[i, j] * block_n
         _, w1d, _, _, _ = _w1_block(
@@ -711,7 +759,7 @@ def _biased_bwd_pre_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
                            delta1_ref, db_ref, d1_acc, db_acc, *,
                            metric: str, n_j: int, n_h: int, true_d: int,
                            bf16: bool, dropout_rate: float, block_m: int,
-                           block_n: int):
+                           block_n: int, packed: bool = False):
     """Combined walk A — grid (n_i, n_j_walk, H), heads innermost:
       delta1[row, h] = sum_j w1 ⊙ dw1   (softmax-1 vjp row term)
       dB[i, j]      = sum_h dz          (bias is head-shared)
@@ -735,7 +783,8 @@ def _biased_bwd_pre_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
         row0 = i * block_m
         col0 = jlist_ref[i, j] * block_n
         _, dz, dw1, w1, _, _, _ = _bwd_biased_common(
-            metric, q_ref[0], k_ref[0], v_ref[0], do_ref[0], mask_ref[:],
+            metric, q_ref[0], k_ref[0], v_ref[0], do_ref[0],
+            _mask_bits(mask_ref[:], packed),
             bias_ref[:], lse1_ref[0], lse2_ref[0], delta2_ref[0],
             scale_ref[h], true_d, bf16, seeds_ref, h, row0, col0,
             block_m, block_n, dropout_rate)
@@ -759,7 +808,8 @@ def _biased_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
                           do_ref, lse1_ref, lse2_ref, delta2_ref,
                           delta1_ref, *rest, metric: str, n_j: int,
                           true_d: int, bf16: bool, dropout_rate: float,
-                          block_m: int, block_n: int, need_dscale: bool):
+                          block_m: int, block_n: int, need_dscale: bool,
+                          packed: bool = False):
     """Walk B: dq (+ dscale) over the forward plan, consuming walk A's
     delta1 (full [BM, H] block; the head column is one-hot selected —
     a (BM, 1) lane slice of an [Np, H] array violates the TPU 8x128
@@ -793,7 +843,8 @@ def _biased_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
         row0 = i * block_m
         col0 = jlist_ref[i, j] * block_n
         _, _, dw1, w1, s, sq, qk = _bwd_biased_common(
-            metric, q, k, v_ref[0], do_ref[0], mask_ref[:], bias_ref[:],
+            metric, q, k, v_ref[0], do_ref[0],
+            _mask_bits(mask_ref[:], packed), bias_ref[:],
             lse1_ref[0], lse2_ref[0], delta2_ref[0], scale, true_d,
             bf16, seeds_ref, h, row0, col0, block_m, block_n,
             dropout_rate)
@@ -828,7 +879,7 @@ def _biased_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seeds_ref,
                            delta1_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                            metric: str, n_i: int, true_d: int, bf16: bool,
                            dropout_rate: float, block_m: int,
-                           block_n: int):
+                           block_n: int, packed: bool = False):
     """Walk C: dk/dv over the transposed plan."""
     i = pl.program_id(2)
     j = pl.program_id(1)
@@ -847,7 +898,8 @@ def _biased_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seeds_ref,
         row0 = ilist_ref[j, i] * block_m
         col0 = j * block_n
         w2d, _, dw1, w1, s, sq, qk = _bwd_biased_common(
-            metric, q, k, v_ref[0], do_ref[0], mask_ref[:], bias_ref[:],
+            metric, q, k, v_ref[0], do_ref[0],
+            _mask_bits(mask_ref[:], packed), bias_ref[:],
             lse1_ref[0], lse2_ref[0], delta2_ref[0], scale, true_d,
             bf16, seeds_ref, h, row0, col0, block_m, block_n,
             dropout_rate)
@@ -939,6 +991,9 @@ def _flash_forward(
     grid = (H, n_i, n_walk)
     n_j = n_walk
 
+    packed = _mask_packable(Np, block_n)
+    mask_op = _pack_mask(mask, block_n) if packed else mask
+    mw = block_n // 8 if packed else block_n
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
@@ -951,7 +1006,7 @@ def _flash_forward(
             pl.BlockSpec((1, block_n, Dp),
                          lambda h, i, j, jl, jc, sc, sd: (h, jl[i, j], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, block_n),
+            pl.BlockSpec((block_m, mw),
                          lambda h, i, j, jl, jc, sc, sd: (i, jl[i, j]),
                          memory_space=pltpu.VMEM),
         ],
@@ -973,7 +1028,8 @@ def _flash_forward(
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, metric=metric, n_j=n_j,
                           true_d=D, bf16=bf16, dropout_rate=dropout_rate,
-                          block_m=block_m, block_n=block_n),
+                          block_m=block_m, block_n=block_n,
+                          packed=packed),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), q.dtype),
                    jax.ShapeDtypeStruct((H, Np, 1), jnp.float32)),
@@ -983,7 +1039,7 @@ def _flash_forward(
             transcendentals=H * Np * Np,
         ),
     )(jlist, jcount.astype(jnp.int32), scale_param.astype(jnp.float32),
-      jnp.asarray(seed, jnp.int32).reshape((1,)), q, k, v, mask)
+      jnp.asarray(seed, jnp.int32).reshape((1,)), q, k, v, mask_op)
     if return_lse:
         return out[:, :N, :Dv], lse[:, :N, 0]
     return out[:, :N, :Dv]
@@ -1058,7 +1114,8 @@ def _chain_dk(metric, ds, s, sq, qk, q, k, scale, true_d, bf16):
 def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
                          q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
                          delta_ref, *rest, metric, n_j, true_d, bf16,
-                         dropout_rate, block_m, block_n, need_dscale):
+                         dropout_rate, block_m, block_n, need_dscale,
+                         packed=False):
     """dq accumulation over a compacted walk of occupied key blocks
     (same block-sparsity plan as the forward). With `need_dscale`, also
     reduces d(sigma)/d(gamma) per (head, query-block) into a second
@@ -1102,7 +1159,8 @@ def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
                               jlist_ref[i, j] * block_n, block_m, block_n,
                               _keep_thresh(dropout_rate))
         p, ds, s, sq, qk = _bwd_block(
-            metric, q, k, v, do, lse_row, delta_row, mask_ref[:], true_d,
+            metric, q, k, v, do, lse_row, delta_row,
+            _mask_bits(mask_ref[:], packed), true_d,
             scale, bf16, keep, 1.0 / (1.0 - dropout_rate))
         acc_ref[:] = acc_ref[:] + _chain_dq(metric, ds, s, sq, qk, q, k,
                                             scale, true_d, bf16)
@@ -1131,7 +1189,7 @@ def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seed_ref,
                           q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
                           delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                           metric, n_i, true_d, bf16, dropout_rate,
-                          block_m, block_n):
+                          block_m, block_n, packed=False):
     """dk/dv accumulation over a compacted walk of occupied *query*
     blocks (the transposed plan)."""
     i = pl.program_id(2)
@@ -1159,7 +1217,8 @@ def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seed_ref,
                               j * block_n, block_m, block_n,
                               _keep_thresh(dropout_rate))
         p, ds, s, sq, qk = _bwd_block(
-            metric, q, k, v, do, lse_row, delta_row, mask_ref[:], true_d,
+            metric, q, k, v, do, lse_row, delta_row,
+            _mask_bits(mask_ref[:], packed), true_d,
             scale, bf16, keep, keep_inv)
         if keep is not None:
             p_v = jnp.where(keep, p * keep_inv, 0.0)
@@ -1252,6 +1311,9 @@ def flash_geometric_attention_bwd(
                         jax.ShapeDtypeStruct((H, n_i), jnp.float32))
         dq_scratch.append(pltpu.VMEM((1, 1), jnp.float32))
 
+    packed = _mask_packable(Np, block_n)
+    mask_op = _pack_mask(mask, block_n) if packed else mask
+    mw = block_n // 8 if packed else block_n
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(H, n_i, n_walk_j),
@@ -1264,7 +1326,7 @@ def flash_geometric_attention_bwd(
             pl.BlockSpec((1, block_n, Dp),
                          lambda h, i, j, jl, jc, sc, sd: (h, jl[i, j], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, block_n),
+            pl.BlockSpec((block_m, mw),
                          lambda h, i, j, jl, jc, sc, sd: (i, jl[i, j]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0),
@@ -1281,10 +1343,11 @@ def flash_geometric_attention_bwd(
         functools.partial(_flash_bwd_dq_kernel, metric=metric,
                           n_j=n_walk_j, true_d=D, bf16=bf16,
                           dropout_rate=dropout_rate, block_m=block_m,
-                          block_n=block_n, need_dscale=need_dscale),
+                          block_n=block_n, need_dscale=need_dscale,
+                          packed=packed),
         grid_spec=dq_spec,
         out_shape=dq_out_shape,
-    )(jlist, jcount, scale, seed, q, k, v, mask, do, lse_i, delta_i)
+    )(jlist, jcount, scale, seed, q, k, v, mask_op, do, lse_i, delta_i)
     if need_dscale:
         dq, dsc = dq_res
         dscale = jnp.sum(dsc, axis=1)          # [H]
@@ -1303,7 +1366,7 @@ def flash_geometric_attention_bwd(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, block_n),
+            pl.BlockSpec((block_m, mw),
                          lambda h, j, i, il, ic, sc, sd: (il[j, i], j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_m, Dp),
@@ -1329,11 +1392,11 @@ def flash_geometric_attention_bwd(
         functools.partial(_flash_bwd_dkv_kernel, metric=metric,
                           n_i=n_walk_i, true_d=D, bf16=bf16,
                           dropout_rate=dropout_rate, block_m=block_m,
-                          block_n=block_n),
+                          block_n=block_n, packed=packed),
         grid_spec=dkv_spec,
         out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), k.dtype),
                    jax.ShapeDtypeStruct((H, Np, Dp), v.dtype)),
-    )(ilist, icount, scale, seed, q, k, v, mask, do, lse_i, delta_i)
+    )(ilist, icount, scale, seed, q, k, v, mask_op, do, lse_i, delta_i)
 
     if need_dscale:
         return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv], dscale
@@ -1404,15 +1467,19 @@ def _flash_biased_forward(
     def _b(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
+    packed = _mask_packable(Np, block_n)
+    mask_op = _pack_mask(mask, block_n) if packed else mask
+    mw = block_n // 8 if packed else block_n
     qspec = _b((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0))
     kspec = _b((1, block_n, Dp),
                lambda h, i, j, jl, *_: (h, jl[i, j], 0))
-    mspec = _b((block_m, block_n), lambda h, i, j, jl, *_: (i, jl[i, j]))
+    mspec = _b((block_m, mw), lambda h, i, j, jl, *_: (i, jl[i, j]))
+    bspec = _b((block_m, block_n), lambda h, i, j, jl, *_: (i, jl[i, j]))
     rowspec = _b((1, block_m, 1), lambda h, i, j, *_: (h, i, 0))
 
     lse1 = pl.pallas_call(
         functools.partial(_lse1_kernel, metric=metric, n_j=n_walk,
-                          true_d=D, bf16=bf16),
+                          true_d=D, bf16=bf16, packed=packed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3, grid=grid,
             in_specs=[qspec, kspec, mspec],
@@ -1420,15 +1487,16 @@ def _flash_biased_forward(
             scratch_shapes=[pltpu.VMEM((block_m, 1), jnp.float32),
                             pltpu.VMEM((block_m, 1), jnp.float32)]),
         out_shape=jax.ShapeDtypeStruct((H, Np, 1), jnp.float32),
-    )(jlist, jcount, scale32, q, k, mask)
+    )(jlist, jcount, scale32, q, k, mask_op)
 
     out, lse2 = pl.pallas_call(
         functools.partial(_flash_biased_kernel, metric=metric, n_j=n_walk,
                           true_d=D, bf16=bf16, dropout_rate=dropout_rate,
-                          block_m=block_m, block_n=block_n),
+                          block_m=block_m, block_n=block_n,
+                          packed=packed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4, grid=grid,
-            in_specs=[qspec, kspec, kspec, mspec, mspec, rowspec],
+            in_specs=[qspec, kspec, kspec, mspec, bspec, rowspec],
             out_specs=(qspec, rowspec),
             scratch_shapes=[pltpu.VMEM((block_m, Dp), jnp.float32),
                             pltpu.VMEM((block_m, 1), jnp.float32),
@@ -1439,7 +1507,7 @@ def _flash_biased_forward(
             flops=2 * 2 * H * Np * Np * Dp,
             bytes_accessed=4 * H * Np * Dp * 4 + 5 * Np * Np,
             transcendentals=2 * H * Np * Np),
-    )(jlist, jcount, scale32, seeds, q, k, v, mask, bias, lse1)
+    )(jlist, jcount, scale32, seeds, q, k, v, mask_op, bias, lse1)
     if return_lse:
         return out[:, :N, :Dv], lse1[:, :N, 0], lse2[:, :N, 0]
     return out[:, :N, :Dv]
@@ -1501,9 +1569,15 @@ def flash_biased_attention_bwd(
     kw = dict(metric=metric, true_d=D, bf16=bf16,
               dropout_rate=dropout_rate, block_m=block_m, block_n=block_n)
 
+    packed = _mask_packable(Np, block_n)
+    mask_op = _pack_mask(mask, block_n) if packed else mask
+    mw = block_n // 8 if packed else block_n
+    kw["packed"] = packed
+
     # --- walk A: delta1 + dB (grid (n_i, n_walk_j, H), heads innermost)
     a_q = _b((1, block_m, Dp), lambda i, j, h, jl, *_: (h, i, 0))
     a_k = _b((1, block_n, Dp), lambda i, j, h, jl, *_: (h, jl[i, j], 0))
+    a_mask = _b((block_m, mw), lambda i, j, h, jl, *_: (i, jl[i, j]))
     a_m = _b((block_m, block_n), lambda i, j, h, jl, *_: (i, jl[i, j]))
     a_row = _b((1, block_m, 1), lambda i, j, h, jl, *_: (h, i, 0))
     delta1, dbias = pl.pallas_call(
@@ -1511,19 +1585,21 @@ def flash_biased_attention_bwd(
                           **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4, grid=(n_i, n_walk_j, H),
-            in_specs=[a_q, a_k, a_k, a_m, a_m, a_q, a_row, a_row, a_row],
+            in_specs=[a_q, a_k, a_k, a_mask, a_m, a_q, a_row, a_row,
+                      a_row],
             out_specs=(_b((block_m, H), lambda i, j, h, *_: (i, 0)),
                        a_m),
             scratch_shapes=[pltpu.VMEM((block_m, H), jnp.float32),
                             pltpu.VMEM((block_m, block_n), jnp.float32)]),
         out_shape=(jax.ShapeDtypeStruct((Np, H), jnp.float32),
                    jax.ShapeDtypeStruct((Np, Np), jnp.float32)),
-    )(jlist, jcount, scale32, seeds, q, k, v, mask, bias, do, lse1_i,
-      lse2_i, delta2_i)
+    )(jlist, jcount, scale32, seeds, q, k, v, mask_op, bias, do,
+      lse1_i, lse2_i, delta2_i)
 
     # --- walk B: dq (+ dscale) (grid (H, n_i, n_walk_j))
     b_q = _b((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0))
     b_k = _b((1, block_n, Dp), lambda h, i, j, jl, *_: (h, jl[i, j], 0))
+    b_mask = _b((block_m, mw), lambda h, i, j, jl, *_: (i, jl[i, j]))
     b_m = _b((block_m, block_n), lambda h, i, j, jl, *_: (i, jl[i, j]))
     b_row = _b((1, block_m, 1), lambda h, i, j, *_: (h, i, 0))
     b_d1 = _b((block_m, H), lambda h, i, j, *_: (i, 0))
@@ -1543,12 +1619,12 @@ def flash_biased_attention_bwd(
                           need_dscale=need_dscale, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4, grid=(H, n_i, n_walk_j),
-            in_specs=[b_q, b_k, b_k, b_m, b_m, b_q, b_row, b_row, b_row,
-                      b_d1],
+            in_specs=[b_q, b_k, b_k, b_mask, b_m, b_q, b_row, b_row,
+                      b_row, b_d1],
             out_specs=out_specs, scratch_shapes=scratch),
         out_shape=out_shape,
-    )(jlist, jcount, scale32, seeds, q, k, v, mask, bias, do, lse1_i,
-      lse2_i, delta2_i, delta1)
+    )(jlist, jcount, scale32, seeds, q, k, v, mask_op, bias, do,
+      lse1_i, lse2_i, delta2_i, delta1)
     if need_dscale:
         dq, dsc = dq_res
         dscale = jnp.sum(dsc, axis=1)
@@ -1559,6 +1635,7 @@ def flash_biased_attention_bwd(
     # --- walk C: dk/dv (grid (H, n_j, n_walk_i), transposed plan)
     c_q = _b((1, block_m, Dp), lambda h, j, i, il, *_: (h, il[j, i], 0))
     c_kv = _b((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0))
+    c_mask = _b((block_m, mw), lambda h, j, i, il, *_: (il[j, i], j))
     c_m = _b((block_m, block_n), lambda h, j, i, il, *_: (il[j, i], j))
     c_row = _b((1, block_m, 1), lambda h, j, i, il, *_: (h, il[j, i], 0))
     c_d1 = _b((block_m, H), lambda h, j, i, il, *_: (il[j, i], 0))
@@ -1566,15 +1643,15 @@ def flash_biased_attention_bwd(
         functools.partial(_biased_bwd_dkv_kernel, n_i=n_walk_i, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4, grid=(H, n_j, n_walk_i),
-            in_specs=[c_q, c_kv, c_kv, c_m, c_m, c_q, c_row, c_row,
+            in_specs=[c_q, c_kv, c_kv, c_mask, c_m, c_q, c_row, c_row,
                       c_row, c_d1],
             out_specs=(c_kv, c_kv),
             scratch_shapes=[pltpu.VMEM((block_n, Dp), jnp.float32),
                             pltpu.VMEM((block_n, Dp), jnp.float32)]),
         out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), k.dtype),
                    jax.ShapeDtypeStruct((H, Np, Dp), v.dtype)),
-    )(ilist, icount, scale32, seeds, q, k, v, mask, bias, do, lse1_i,
-      lse2_i, delta2_i, delta1)
+    )(ilist, icount, scale32, seeds, q, k, v, mask_op, bias, do,
+      lse1_i, lse2_i, delta2_i, delta1)
 
     res = (dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv],
            dbias[:N, :N])

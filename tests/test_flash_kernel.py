@@ -511,3 +511,83 @@ def test_flash_bias_dead_rows_zero():
     out = FG.flash_geometric_attention.__wrapped__(
         q, k, v, adj, metric="euclidean", block_m=32, block_n=32, bias=B)
     assert np.all(np.asarray(out)[:, 3] == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed masks (8 key columns per int8, interleaved per key block)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def _force_packed(monkeypatch):
+    monkeypatch.setattr(FG, "PACK_MASKS", True)
+
+
+def test_pack_mask_roundtrip():
+    r = np.random.default_rng(31)
+    for N, bn in ((96, 96), (256, 128), (1024, 1024)):
+        m = jnp.asarray(r.random((N, N)) < 0.4)
+        p = FG._pack_mask(m, bn)
+        assert p.shape == (N, N // 8)
+        # unpack every block via the kernel helper (outside pallas:
+        # pltpu.repeat works as a plain op in interpret-free tracing)
+        for jb in range(N // bn):
+            blk = p[:, jb * bn // 8:(jb + 1) * bn // 8]
+            got = FG._mask_bits(blk, True)
+            np.testing.assert_array_equal(
+                np.asarray(got) != 0,
+                np.asarray(m[:, jb * bn:(jb + 1) * bn]))
+
+
+@pytest.mark.parametrize("metric", ["scaled_dot_product",
+                                    "gaussian_kernel"])
+def test_flash_packed_mask_path(metric, _force_packed):
+    """With Np == block_n the kernels take the bit-packed mask path
+    (1/8 the mask DMA); outputs and all grads must match the unpacked
+    small-block run and the dense oracle."""
+    q, k, v, adj = _data(N=70, H=2, Dh=16, seed=41)
+    scale = jnp.asarray([0.9, 1.2]) if metric == "gaussian_kernel" \
+        else None
+    # packed: blocks span the padded graph -> Np == block_n
+    assert FG._mask_packable(96, 96)
+
+    def loss(q, k, v, s, bm, bn):
+        return jnp.sum(FG.flash_geometric_attention.__wrapped__(
+            q, k, v, adj, metric=metric, scale_param=s,
+            block_m=bm, block_n=bn) ** 2)
+
+    lp = loss(q, k, v, scale, 96, 96)      # packed
+    lu = loss(q, k, v, scale, 32, 32)      # unpacked small blocks
+    np.testing.assert_allclose(float(lp), float(lu), rtol=1e-4)
+    if scale is not None:
+        nums = (0, 1, 2, 3)
+        gp = jax.grad(lambda *a: loss(*a, 96, 96), argnums=nums)(
+            q, k, v, scale)
+        gu = jax.grad(lambda *a: loss(*a, 32, 32), argnums=nums)(
+            q, k, v, scale)
+    else:
+        nums = (0, 1, 2)
+        gp = jax.grad(lambda q, k, v: loss(q, k, v, None, 96, 96),
+                      argnums=nums)(q, k, v)
+        gu = jax.grad(lambda q, k, v: loss(q, k, v, None, 32, 32),
+                      argnums=nums)(q, k, v)
+    for a, b in zip(gp, gu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_flash_packed_biased_and_dropout(_force_packed):
+    """Packed masks compose with the edge-biased variant and in-kernel
+    dropout (all walks unpack the identical bits)."""
+    q, k, v, adj, B = _bias_data(seed=43)
+    rate, seed = 0.3, 17
+
+    def loss(bm, bn):
+        return jnp.sum(FG.flash_geometric_attention.__wrapped__(
+            q, k, v, adj, metric="euclidean", block_m=bm, block_n=bn,
+            bias=B, dropout_rate=rate,
+            dropout_seed=jnp.asarray([seed], jnp.int32)) ** 2)
+
+    # NOTE: the hash keep-mask depends on global coordinates only, so
+    # packed (96-blocks) and unpacked (32-blocks) drop identical entries
+    np.testing.assert_allclose(float(loss(96, 96)), float(loss(32, 32)),
+                               rtol=1e-4)
