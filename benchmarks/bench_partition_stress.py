@@ -39,11 +39,20 @@ _cache()
 
 
 
-def _snaps(N, deg, T, F, seed=0):
+def _snaps(N, deg, T, F, seed=0, locality=0.0, width=None):
+    """locality in [0, 1): that fraction of edges stay within +-width
+    of their source (the structure RCM reordering gives real graphs —
+    and what makes boundary-only halo exchange pay: only nodes within
+    `width` of a shard edge, plus random-edge endpoints, export)."""
     rng = np.random.default_rng(seed)
     E = N * deg
     src = rng.integers(0, N, E).astype(np.int64)
     dst = rng.integers(0, N, E).astype(np.int64)
+    if locality > 0:
+        w = width or max(N // 256, 8)
+        sel = rng.random(E) < locality
+        near = np.clip(src + rng.integers(-w, w + 1, E), 0, N - 1)
+        dst = np.where(sel, near, dst)
     return [{"x": rng.standard_normal((N, F)).astype(np.float32),
              "edge_index": np.stack([src, dst]),
              "node_ids": list(range(N)), "timestep": float(t)}
@@ -62,7 +71,8 @@ def part_a_cpu(quick=False):
     from tagan_tpu.dist.edge_partition import boundary_traffic_report
 
     N, DEG, T, F, G = (4096 if quick else 98_304), 8, 2, 8, 8
-    snaps, E = _snaps(N, DEG, T, F)
+    # 95% local edges: the post-RCM structure of real graphs (SCALING.md)
+    snaps, E = _snaps(N, DEG, T, F, locality=0.95)
     t0 = time.time()
     seq = tt.build_sequence(snaps, max_nodes=N, max_edges=E, max_time=T,
                             dense_adj=False)

@@ -92,6 +92,7 @@ def create_tgn_synthetic(num_users: int = 1000, num_items: int = 500,
                          num_churn_bursts: int = 0,
                          burst_len: int = 24,
                          burst_span: float = 0.0,
+                         burst_feat_shift: float = 2.0,
                          seed: int = 0) -> TemporalInteractionStream:
     """Bipartite interaction stream with power-law item popularity and
     bursty user repeat behavior — the statistical shape of the JODIE
@@ -101,10 +102,12 @@ def create_tgn_synthetic(num_users: int = 1000, num_items: int = 500,
     noise — fine for throughput runs). For an accuracy-meaningful task
     set ``num_churn_bursts`` > 0: that many users emit a tight burst of
     ``burst_len`` interactions within ``burst_span`` seconds at a random
-    churn time, and exactly those events carry label 1 — the signature
-    (an activity spike of one user) is observable in the degree
-    features, so windows containing a burst are predictably positive
-    (the state-change-before-churn task JODIE/TGN evaluate)."""
+    churn time, and exactly those events carry label 1 — observable
+    both as an activity spike (degree features) and through
+    ``burst_feat_shift`` added to the burst events' edge features (the
+    JODIE datasets' state-change signature lives in the edge features
+    the same way), so windows containing a burst are predictably
+    positive."""
     rng = np.random.default_rng(seed)
     item_pop = rng.zipf(1.5, num_items).astype(np.float64)
     item_pop /= item_pop.sum()
@@ -141,8 +144,8 @@ def create_tgn_synthetic(num_users: int = 1000, num_items: int = 500,
         dst = np.concatenate([dst, np.asarray(b_dst)])
         t = np.concatenate([t, np.asarray(b_t)])
         fe = np.concatenate(
-            [fe, rng.standard_normal((len(b_src), edge_feat_dim))
-             .astype(np.float32)])
+            [fe, burst_feat_shift + rng.standard_normal(
+                (len(b_src), edge_feat_dim)).astype(np.float32)])
         label = np.concatenate(
             [label, np.ones(len(b_src), np.float32)])
 
