@@ -234,12 +234,24 @@ def stream_to_sequences(
             if node_feature_fn is not None:
                 x = np.stack([node_feature_fn(g) for g in ids])
             else:
-                # degree + recency features
+                # degree features + mean incident edge features (the
+                # JODIE-style event signal aggregated into node context
+                # — a snapshot model has no other way to see it)
                 x = np.zeros((len(ids), node_feature_dim), np.float32)
                 for g_arr, col in ((s_src, 0), (s_dst, 1)):
                     for g in g_arr:
                         x[pos[g], col] += 1.0
                 x[:, 2] = 1.0
+                kf = min(node_feature_dim - 3, s_fe.shape[1])
+                if kf > 0:
+                    acc = np.zeros((len(ids), kf), np.float64)
+                    cnt = np.zeros((len(ids),), np.float64)
+                    for e in range(len(s_src)):
+                        for g in (s_src[e], s_dst[e]):
+                            acc[pos[g]] += s_fe[e, :kf]
+                            cnt[pos[g]] += 1.0
+                    x[:, 3:3 + kf] = (acc
+                                      / np.maximum(cnt, 1.0)[:, None])
             snaps.append({"x": x.astype(np.float32), "edge_index": ei,
                           "edge_attr": ea if ea.shape[1] else None,
                           "node_ids": [int(g) for g in ids],

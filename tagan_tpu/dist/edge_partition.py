@@ -166,10 +166,14 @@ def partition_edges_by_query_and_key(
 
 
 def _fold_chunk(metric, q_l, kc, vc, eqs, eks, ems, m, l, acc, per,
-                sigma, gamma, cov_inv, neg):
+                sigma, gamma, cov_inv, neg, keep=None, keep_inv=1.0):
     """Fold one K/V chunk into the streaming per-query segment softmax:
     (m, l, acc) -> updated. eqs are owner-local query ids, eks index
-    into `kc`/`vc` (chunk-local), ems masks padded bucket slots."""
+    into `kc`/`vc` (chunk-local), ems masks padded bucket slots.
+    ``keep`` (bool[H, Ep]) drops the NORMALIZED weights: the V
+    accumulator takes the dropped p_e while the denominator keeps the
+    un-dropped sum — exactly dropout(softmax(s)) @ v, like the csr and
+    flash paths."""
     from ..ops.distances import edgewise_scores
     H = q_l.shape[0]
     q_e = jnp.take(q_l, eqs, axis=1)       # [H, Ep, D]
@@ -198,13 +202,15 @@ def _fold_chunk(metric, q_l, kc, vc, eqs, eks, ems, m, l, acc, per,
     alpha = jnp.where(m <= neg * 0.5, 0.0, alpha)
     l_new = l * alpha + seg_sum(p_e)
     v_e = jnp.take(vc, eks, axis=1)        # [H, Ep, D]
+    p_v = p_e if keep is None else jnp.where(keep, p_e * keep_inv, 0.0)
     contrib = jax.vmap(lambda pe, ve: jax.ops.segment_sum(
-        pe[:, None] * ve, eqs, num_segments=per))(p_e, v_e)
+        pe[:, None] * ve, eqs, num_segments=per))(p_v, v_e)
     acc_new = acc * alpha[..., None] + contrib
     return m_new, l_new, acc_new
 
 
-def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int):
+def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int,
+                        dropout_rate: float = 0.0):
     """Build the shard_map'd ring-attention callable for use *inside*
     jit (no device_put — operands are resharded by GSPMD as needed).
 
@@ -215,17 +221,25 @@ def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int):
     `partition_edges_by_query_and_key` and sigma/gamma/cov_inv are the
     (replicated) learnable metric parameters ([H] / [H] / [H, Dh, Dh],
     pass all-ones/zeros placeholders when unused — shard_map needs
-    concrete operands)."""
+    concrete operands).
+
+    With ``dropout_rate`` > 0 the callable takes one extra operand
+    ``keep`` (bool[H, G, G, Ep], bucketed like the edges): attention
+    dropout on the normalized weights, identical semantics to the csr
+    and flash backends."""
     from ..ops.masked import NEG_INF
 
     g = mesh.shape[GRAPH_AXIS]
     assert N % g == 0, (N, g)
     per = N // g
+    inv = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     node_spec = P(None, GRAPH_AXIS, None)
     edge_spec = P(GRAPH_AXIS, None, None)
+    keep_spec = P(None, GRAPH_AXIS, None, None)
 
-    def local(q_l, k_l, v_l, eq_l, ek_l, em_l, sigma, gamma, cov_inv):
+    def local(q_l, k_l, v_l, eq_l, ek_l, em_l, sigma, gamma, cov_inv,
+              keep_l=None):
         my = jax.lax.axis_index(GRAPH_AXIS)
         eq_loc = eq_l[0] - my * per               # [G, Ep] local query ids
         neg = jnp.asarray(NEG_INF, q_l.dtype)
@@ -245,10 +259,11 @@ def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int):
             # ppermute sends right, so after s steps we hold shard
             # (my - s) mod g's chunk
             src = jax.lax.rem(my - step + g, g)
+            kp = None if keep_l is None else keep_l[:, 0, src]
             m, l, acc = _fold_chunk(
                 metric, q_l, kc, vc, eq_loc[src],
                 ek_l[0, src] - src * per, em_l[0, src], m, l, acc, per,
-                sigma, gamma, cov_inv, neg)
+                sigma, gamma, cov_inv, neg, keep=kp, keep_inv=inv)
             # circulate the chunk to the right neighbor
             perm = [(i, (i + 1) % g) for i in range(g)]
             kc2 = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
@@ -261,6 +276,13 @@ def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int):
         return acc / denom[..., None]
 
     rep = P()
+    if dropout_rate > 0.0:
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(node_spec, node_spec, node_spec,
+                      edge_spec, edge_spec, edge_spec, rep, rep, rep,
+                      keep_spec),
+            out_specs=node_spec)
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(node_spec, node_spec, node_spec,
@@ -398,7 +420,7 @@ def make_boundary_plan(
 
 
 def make_boundary_ring_attention(mesh: Mesh, metric: str, H: int, N: int,
-                                 D: int):
+                                 D: int, dropout_rate: float = 0.0):
     """Boundary-only ring: hop 0 folds the diagonal bucket against the
     full local K/V; the remaining g-1 hops circulate only each shard's
     boundary compaction (rows another shard actually references —
@@ -411,19 +433,22 @@ def make_boundary_ring_attention(mesh: Mesh, metric: str, H: int, N: int,
            sigma, gamma, cov_inv) -> [H, N, D]
     with ek_local/bnd_idx from `make_boundary_plan` (ek stored
     pre-localized: diagonal -> shard-local, off-diagonal -> boundary
-    positions)."""
+    positions). ``dropout_rate`` > 0 adds a trailing ``keep``
+    (bool[H, G, G, Ep]) operand like `make_ring_attention`."""
     from ..ops.masked import NEG_INF
 
     g = mesh.shape[GRAPH_AXIS]
     assert N % g == 0, (N, g)
     per = N // g
+    inv = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     node_spec = P(None, GRAPH_AXIS, None)
     edge_spec = P(GRAPH_AXIS, None, None)
     bnd_spec = P(GRAPH_AXIS, None)
+    keep_spec = P(None, GRAPH_AXIS, None, None)
 
     def local(q_l, k_l, v_l, eq_l, ek_l, em_l, bidx_l, sigma, gamma,
-              cov_inv):
+              cov_inv, keep_l=None):
         my = jax.lax.axis_index(GRAPH_AXIS)
         eq_loc = eq_l[0] - my * per               # [G, Ep] local query ids
         neg = jnp.asarray(NEG_INF, q_l.dtype)
@@ -436,9 +461,11 @@ def make_boundary_ring_attention(mesh: Mesh, metric: str, H: int, N: int,
                             to='varying')
 
         # hop 0: the diagonal bucket against the full local chunk
+        kp0 = None if keep_l is None else keep_l[:, 0, my]
         m, l, acc = _fold_chunk(
             metric, q_l, k_l, v_l, eq_loc[my], ek_l[0, my], em_l[0, my],
-            m0, l0, acc0, per, sigma, gamma, cov_inv, neg)
+            m0, l0, acc0, per, sigma, gamma, cov_inv, neg, keep=kp0,
+            keep_inv=inv)
 
         # only the boundary rows circulate
         kb = jnp.take(k_l, bidx_l[0], axis=1)     # [H, Bp, D]
@@ -450,9 +477,11 @@ def make_boundary_ring_attention(mesh: Mesh, metric: str, H: int, N: int,
             kc = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
             vc = jax.lax.ppermute(vc, GRAPH_AXIS, perm)
             src = jax.lax.rem(my - step + g, g)
+            kp = None if keep_l is None else keep_l[:, 0, src]
             m, l, acc = _fold_chunk(
                 metric, q_l, kc, vc, eq_loc[src], ek_l[0, src],
-                em_l[0, src], m, l, acc, per, sigma, gamma, cov_inv, neg)
+                em_l[0, src], m, l, acc, per, sigma, gamma, cov_inv,
+                neg, keep=kp, keep_inv=inv)
             return (m, l, acc, kc, vc), 0
 
         (m, l, acc, _, _), _ = jax.lax.scan(
@@ -461,6 +490,13 @@ def make_boundary_ring_attention(mesh: Mesh, metric: str, H: int, N: int,
         return acc / denom[..., None]
 
     rep = P()
+    if dropout_rate > 0.0:
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(node_spec, node_spec, node_spec,
+                      edge_spec, edge_spec, edge_spec, bnd_spec,
+                      rep, rep, rep, keep_spec),
+            out_specs=node_spec)
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(node_spec, node_spec, node_spec,

@@ -270,8 +270,11 @@ class GeometricAttention:
         self,
         p: M.Params,
         x: jax.Array,                 # [N, hidden]
-        attn_core,                    # (q, k, v, sigma, gamma, cov_inv) -> ctx
+        attn_core,   # (q, k, v, sigma, gamma, cov_inv, rng|None) -> ctx
         node_mask: jax.Array,         # bool[N]
+        *,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Same semantics over the mesh graph axis: QKV/LN/residual run
         under GSPMD, the attention core (`attn_core`, a closure over a
@@ -279,8 +282,10 @@ class GeometricAttention:
         boundary-only) circulates K/V via ppermute; per-query softmax is
         exact because every edge of a query lives on its owner. Self
         loops must already be in the buckets
-        (SnapshotSequence.with_ring_plan adds them). Deterministic only —
-        attention dropout and edge bias raise at the model level."""
+        (SnapshotSequence.with_ring_plan adds them). In train mode the
+        core receives an rng for per-edge attention dropout (normalized
+        weights, like csr/flash) and output dropout applies here; edge
+        bias still raises at the model level."""
         from ..dist.edge_partition import metric_placeholders
         identity = x
         h = M.layer_norm(p["ln1"], x) if self.use_layer_norm else x
@@ -290,9 +295,15 @@ class GeometricAttention:
         sigma, gamma, cov_inv = self._metric_params(p)
         sigma, gamma, cov_inv = metric_placeholders(
             self.num_heads, self.head_dim, x.dtype, sigma, gamma, cov_inv)
-        ctx = attn_core(q, k, v, sigma, gamma, cov_inv)
+        r_att = r_out = None
+        if not deterministic and rng is not None and self.dropout > 0.0:
+            r_att, r_out = jax.random.split(rng)
+        ctx = attn_core(q, k, v, sigma, gamma, cov_inv, r_att)
         ctx = self._merge_heads(ctx)
         ctx = M.linear(p["o"], ctx)
+        if r_out is not None:
+            ctx = M.dropout(ctx, self.dropout, deterministic=False,
+                            rng=r_out)
         out = ctx + identity
         if self.use_layer_norm:
             out = M.layer_norm(p["ln2"], out)

@@ -403,11 +403,6 @@ class TAGAN:
             raise NotImplementedError(
                 "edge-feature bias is not implemented on the ring "
                 "backend; use spatial_backend='flash' or 'csr'")
-        if not deterministic and rng is not None and c.dropout > 0.0:
-            raise NotImplementedError(
-                "attention/output dropout is not implemented on the "
-                "ring backend; train with dropout=0.0 or another "
-                "backend")
         from ..dist.edge_partition import (make_boundary_ring_attention,
                                            make_ring_attention)
         from ..dist.mesh import GRAPH_AXIS
@@ -420,31 +415,47 @@ class TAGAN:
         metric = c.effective_distance_metric
         Dh = c.hidden_dim // c.num_heads
         halo = seq.ring_bnd_idx is not None
+        train = (not deterministic and rng is not None
+                 and c.dropout > 0.0)
+        rate = c.dropout if train else 0.0
+        if train:
+            rng, r = jax.random.split(rng)
+            step_rngs = jax.random.split(r, x.shape[0])
+        else:
+            step_rngs = None
         # mahalanobis rides the generic edgewise kernel via cov_inv
         if halo:
             # boundary-only exchange: only the rows other shards
             # reference circulate (with_ring_plan(boundary=True))
             ring_fn = make_boundary_ring_attention(
-                self.mesh, metric, c.num_heads, N, Dh)
+                self.mesh, metric, c.num_heads, N, Dh,
+                dropout_rate=rate)
         else:
             ring_fn = make_ring_attention(self.mesh, metric, c.num_heads,
-                                          N, Dh)
+                                          N, Dh, dropout_rate=rate)
         ga = self.graph_attention
 
         def one_step(args):
-            xt, eq, ek, em, nm, bidx = args
-            if halo:
-                def core(qh, kh, vh, sig, gam, cov):
-                    return ring_fn(qh, kh, vh, eq, ek, em, bidx, sig,
-                                   gam, cov)
-            else:
-                def core(qh, kh, vh, sig, gam, cov):
-                    return ring_fn(qh, kh, vh, eq, ek, em, sig, gam, cov)
+            xt, eq, ek, em, nm, bidx, rt = args
+
+            def core(qh, kh, vh, sig, gam, cov, r_att):
+                extra = (bidx,) if halo else ()
+                if r_att is not None:
+                    keep = jax.random.bernoulli(
+                        r_att, 1.0 - c.dropout,
+                        (c.num_heads,) + tuple(eq.shape))
+                    return ring_fn(qh, kh, vh, eq, ek, em, *extra, sig,
+                                   gam, cov, keep)
+                return ring_fn(qh, kh, vh, eq, ek, em, *extra, sig, gam,
+                               cov)
 
             sk = xt
             for i in range(c.num_layers):
                 lp = p["geometric_layers"][f"layer_{i}"]
-                xt = ga.inner.apply_ring(lp["attn"], xt, core, nm)
+                ri = None if rt is None else jax.random.fold_in(rt, i)
+                xt = ga.inner.apply_ring(lp["attn"], xt, core, nm,
+                                         deterministic=ri is None,
+                                         rng=ri)
                 if i == 0:
                     if c.use_layer_norm:
                         xt = xt + M.layer_norm(p["skip_layer_norm"], sk)
@@ -455,7 +466,7 @@ class TAGAN:
         if c.remat:
             one_step = jax.checkpoint(one_step)
         args = [x, seq.ring_eq, seq.ring_ek, seq.ring_em, seq.node_mask,
-                seq.ring_bnd_idx]
+                seq.ring_bnd_idx, step_rngs]
         present = [a is not None for a in args]
         packed = tuple(a for a in args if a is not None)
 

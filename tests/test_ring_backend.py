@@ -153,11 +153,6 @@ def test_ring_error_cases():
                                ring_em=None)
     with pytest.raises(ValueError, match="with_ring_plan"):
         ring(p, bare)
-    # dropout requested in train mode -> loud, not silent
-    cfg_d = dataclasses.replace(cfg, dropout=0.3)
-    ring_d = TAGAN(cfg_d, mesh=mesh)
-    with pytest.raises(NotImplementedError, match="dropout"):
-        ring_d(p, seqs[0], deterministic=False, rng=jax.random.key(0))
     # shard-count mismatch between plan and mesh
     mesh2 = make_mesh(data=4, graph=2)
     ring2 = TAGAN(cfg, mesh=mesh2)
@@ -225,3 +220,41 @@ def test_boundary_ring_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5,
                                    err_msg=str(ka))
+
+
+@pytest.mark.parametrize("boundary", [False, True])
+def test_ring_train_dropout(boundary):
+    """Attention + output dropout on the ring backend (per-edge keep on
+    the normalized weights, like csr/flash): stochastic forward differs
+    from deterministic and between rngs; grads finite; eval mode still
+    matches dense."""
+    seqs, labels = _ring_setup(num_samples=1, seed=21)
+    seq = seqs[0]
+    if boundary:
+        import dataclasses as dc
+        seq = dc.replace(seq, ring_eq=None, ring_ek=None, ring_em=None,
+                         ring_bnd_idx=None).with_ring_plan(
+            4, boundary=True)
+    mesh = make_mesh(data=2, graph=4)
+    cfg = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=2,
+                         node_feature_dim=8, output_dim=1,
+                         loss_type="bce", dropout=0.4,
+                         spatial_backend="ring")
+    ring = TAGAN(cfg, mesh=mesh)
+    dense = TAGAN(cfg.replace(spatial_backend="dense"))
+    params = ring.init(jax.random.key(0))
+    det = jax.jit(lambda p: ring(p, seq).logits)(params)
+    d = jax.jit(lambda p: dense(p, seq).logits)(params)
+    np.testing.assert_allclose(np.asarray(det), np.asarray(d),
+                               rtol=2e-4, atol=2e-5)
+    tr = jax.jit(lambda p, r: ring(p, seq, deterministic=False,
+                                   rng=r).logits)
+    t1, t2 = tr(params, jax.random.key(1)), tr(params, jax.random.key(2))
+    assert not np.allclose(np.asarray(det), np.asarray(t1), atol=1e-5)
+    assert not np.allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+    g = jax.jit(jax.grad(
+        lambda p, r: ring(p, seq, labels[0], deterministic=False,
+                          rng=r).loss))(params, jax.random.key(3))
+    gn = sum(float(jnp.sum(jnp.abs(x)))
+             for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
