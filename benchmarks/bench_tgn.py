@@ -41,7 +41,7 @@ if QUICK:
     EPOCHS, SNAPSHOTS = 2, 6
 else:
     N_USERS, N_ITEMS, N_EVENTS = 9_000, 4_000, 600_000
-    EPOCHS, SNAPSHOTS = 5, 8
+    EPOCHS, SNAPSHOTS = 10, 8
 
 
 def main():

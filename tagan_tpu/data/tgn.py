@@ -252,10 +252,12 @@ def stream_to_sequences(
                             cnt[pos[g]] += 1.0
                     x[:, 3:3 + kf] = (acc
                                       / np.maximum(cnt, 1.0)[:, None])
+            # window-relative snapshot times (0, 1, 2, ...): absolute
+            # stream seconds (~1e6) would saturate the time encodings
             snaps.append({"x": x.astype(np.float32), "edge_index": ei,
                           "edge_attr": ea if ea.shape[1] else None,
                           "node_ids": [int(g) for g in ids],
-                          "timestep": float(w_start + b * snap_dur)})
+                          "timestep": float(b)})
         if len(snaps) >= max(2, num_snapshots // 2):
             sequences.append(snaps)
             labels.append(labeler(ev_lb))

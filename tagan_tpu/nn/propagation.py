@@ -150,20 +150,28 @@ class TemporalEvolutionLayer:
         """Scan TemporalGRUCell over leading time axis of xs [T, B, F].
         tds [T, B] are per-step time diffs (0 at the first step, where the
         reference passes None — decay by exp(0)=1 on a zero state is a
-        no-op, so semantics agree). `valid` bool[T]: invalid (padded)
-        steps carry the hidden state through unchanged and emit zeros —
-        used by the reversed bidirectional pass, where padding sits at
-        the scan head."""
+        no-op, so semantics agree). `valid` bool[T] (padded snapshots)
+        or bool[T, B] (per-node activity): invalid steps carry the
+        hidden state through unchanged and emit zeros. Per-node gating
+        matches the reference, which only ran its GRU over each step's
+        ACTIVE nodes — and it is also what keeps gradients sane: running
+        the cell on inactive slots feeds exactly-zero rows into the
+        cell's LayerNorms, whose backward at zero variance amplifies by
+        rsqrt(eps) PER STEP (~316x, measured 1e21 after 6 steps on
+        churn-heavy data — enough to eat the whole clipped global
+        norm)."""
         cell = TemporalGRUCell(self.input_dim, self.cell_dim, self.dropout,
                                self.use_layer_norm)
-        T = xs.shape[0]
+        T, B = xs.shape[0], xs.shape[1]
         rngs = (jax.random.split(rng, T) if (rng is not None and
                                              not deterministic) else None)
-        # `started` tracks whether any valid step has run yet, so the
-        # first valid step takes the reference's h=None path (no LN on
-        # the zero initial state, :502-506)
+        # `started` tracks, per node, whether any valid step has run
+        # yet, so the first valid step takes the reference's h=None path
+        # (no LN on the zero initial state, :502-506)
         if valid is None:
-            valid = jnp.ones((T,), bool)
+            valid = jnp.ones((T, B), bool)
+        elif valid.ndim == 1:
+            valid = jnp.broadcast_to(valid[:, None], (T, B))
 
         def step(carry, inp):
             h, started = carry
@@ -176,19 +184,20 @@ class TemporalEvolutionLayer:
             # layer-normalized, :502-506); emulate with one cell call by
             # pre-normalizing the carry only once a valid step has run
             if self.use_layer_norm:
-                h_in = jnp.where(started,
+                h_in = jnp.where(started[:, None],
                                  M.layer_norm(cp["ln_h"], h), 0.0)
             else:
-                h_in = jnp.where(started, h, 0.0)
+                h_in = jnp.where(started[:, None], h, 0.0)
             h_new = cell(cp, x_t, h_in, td_t, h_is_initial=True,
                          deterministic=deterministic, rng=r)
-            h_out = jnp.where(v_t, h_new, h)
-            emitted = jnp.where(v_t, h_new, 0.0)
+            h_out = jnp.where(v_t[:, None], h_new, h)
+            emitted = jnp.where(v_t[:, None], h_new, 0.0)
             return (h_out, started | v_t), emitted
 
-        h_init = jnp.zeros((xs.shape[1], self.cell_dim), xs.dtype)
+        h_init = jnp.zeros((B, self.cell_dim), xs.dtype)
         inps = (xs, tds, valid) if rngs is None else (xs, tds, valid, rngs)
-        (_, _), out = jax.lax.scan(step, (h_init, jnp.asarray(False)), inps)
+        (_, _), out = jax.lax.scan(
+            step, (h_init, jnp.zeros((B,), bool)), inps)
         return out
 
     def __call__(
@@ -197,6 +206,7 @@ class TemporalEvolutionLayer:
         x_seq: jax.Array,                       # [T, B, input_dim]
         time_stamps: Optional[jax.Array] = None,  # [T]
         time_mask: Optional[jax.Array] = None,    # bool[T]
+        node_mask: Optional[jax.Array] = None,    # bool[T, B]
         *,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
@@ -210,13 +220,20 @@ class TemporalEvolutionLayer:
             td = jnp.zeros((T,), x_seq.dtype)
         tds = jnp.broadcast_to(td[:, None], (T, B))
 
+        # per-node activity gating (reference: GRU runs on each step's
+        # active nodes only) folded with the padded-snapshot mask
+        valid = node_mask
+        if time_mask is not None:
+            valid = time_mask[:, None] if valid is None \
+                else jnp.logical_and(valid, time_mask[:, None])
+
         r1 = r2 = r3 = None
         if not deterministic and rng is not None:
             rng, r1, r2, r3 = jax.random.split(rng, 4)
 
         fwd = self._scan_cell(p["forward_cell"], x_seq, tds,
                               deterministic=deterministic, rng=r1,
-                              valid=time_mask)
+                              valid=valid)
         if self.bidirectional:
             # backward diffs: td_bwd[t] = times[t+1] - times[t] (:695-708)
             if time_stamps is not None and self.time_aware:
@@ -232,7 +249,7 @@ class TemporalEvolutionLayer:
             bwd = self._scan_cell(
                 p["backward_cell"], x_seq[::-1], tdsb[::-1],
                 deterministic=deterministic, rng=r2,
-                valid=None if time_mask is None else time_mask[::-1])[::-1]
+                valid=None if valid is None else valid[::-1])[::-1]
             h = jnp.concatenate([fwd, bwd], axis=-1)
         else:
             h = fwd
@@ -244,6 +261,11 @@ class TemporalEvolutionLayer:
             out = out + x_seq
         if self.use_layer_norm:
             out = M.layer_norm(p["ln"], out)
+        if valid is not None:
+            # inactive slots contribute exactly zero (not the proj/LN
+            # bias row) — keeps them inert in the banded skip window AND
+            # keeps gradients off the var=0 LayerNorm backward
+            out = jnp.where(valid[..., None], out, 0.0)
         return out
 
 
@@ -493,7 +515,7 @@ class TemporalPropagation:
             rng, r_evo, r_skip, r_gate, r_out = jax.random.split(rng, 5)
 
         evolved = self.evolution(p["evolution"], x_seq, time_stamps,
-                                 time_mask,
+                                 time_mask, node_mask,
                                  deterministic=deterministic, rng=r_evo)
         if self.use_skip_connection:
             evolved = self.skip(p["skip"], evolved, time_mask,

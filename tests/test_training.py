@@ -383,3 +383,34 @@ def test_metrics_tracker_plot(tmp_path):
     out = tmp_path / "metrics.png"
     fig = tr.plot_metrics(save_path=str(out))
     assert out.exists() and fig is not None
+
+
+def test_no_gradient_explosion_under_sparse_activity():
+    """Regression: nodes inactive for several steps before first
+    appearing used to blow propagation grads to ~1e21 — the GRU scan
+    ran on their exactly-zero rows and LayerNorm's backward at zero
+    variance amplifies by rsqrt(eps) per step. The per-node activity
+    gating (reference semantics: the GRU only runs on active nodes)
+    must keep the global grad max sane."""
+    import tagan_tpu as tt
+    rng = np.random.default_rng(0)
+    T, N, F = 6, 40, 8
+    snaps = []
+    for t in range(T):
+        # each snapshot activates a small, mostly-disjoint node subset
+        ids = sorted(rng.choice(N, 6, replace=False).tolist())
+        pos = {g: i for i, g in enumerate(ids)}
+        e = rng.choice(len(ids), (2, 10))
+        snaps.append((rng.standard_normal((len(ids), F)).astype(np.float32),
+                      e.astype(np.int64), None, ids))
+    seq = tt.build_sequence(snaps, max_nodes=N, max_edges=10, max_time=T)
+    cfg = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=1,
+                         node_feature_dim=F, output_dim=1,
+                         loss_type="bce", dropout=0.0)
+    m = tt.TAGAN(cfg)
+    p = m.init(jax.random.key(0))
+    g = jax.jit(jax.grad(
+        lambda p: m(p, seq, jnp.asarray(1.0)).loss))(p)
+    mx = max(float(jnp.max(jnp.abs(v)))
+             for v in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(mx) and mx < 1e3, f"grad max {mx}"
