@@ -41,7 +41,7 @@ if QUICK:
     EPOCHS, SNAPSHOTS = 2, 6
 else:
     N_USERS, N_ITEMS, N_EVENTS = 9_000, 4_000, 600_000
-    EPOCHS, SNAPSHOTS = 10, 8
+    EPOCHS, SNAPSHOTS = 20, 8
 
 
 def main():
@@ -52,11 +52,14 @@ def main():
         # learnable churn-burst labels: ~45% of the 200 windows contain
         # one user's labeled activity burst (observable degree spike)
         num_churn_bursts=90 if not QUICK else 12,
-        burst_len=24, burst_span=1e6 / 400.0, seed=0)
-    span = 1e6 / 200.0            # ~200 windows over the stream
+        burst_len=48, burst_span=1e6 / 400.0, burst_feat_shift=4.0,
+        seed=0)
+    span = 1e6 / 200.0
+    # half-span stride -> ~400 (overlapping) windows: more training
+    # signal and a less noisy eval split at the same stream size
     ds = stream_to_sequences(stream, num_snapshots=SNAPSHOTS,
-                             seq_span=span, stride=span, max_degree=16,
-                             node_feature_dim=8)
+                             seq_span=span, stride=span / 2,
+                             max_degree=16, node_feature_dim=8)
     n_pos = sum(1 for l in ds.labels if l > 0.5)
     print(f"stream: {stream.num_events} events, {stream.num_nodes} nodes"
           f" -> {len(ds)} sequences ({n_pos} positive)"
@@ -74,7 +77,7 @@ def main():
     cfg = tt.TAGANConfig(
         hidden_dim=64, num_heads=4, num_layers=2, node_feature_dim=8,
         edge_feature_dim=Fe, use_edge_features=Fe > 0, output_dim=1,
-        loss_type="bce", dropout=0.1, learning_rate=1e-3,
+        loss_type="bce", dropout=0.05, learning_rate=3e-3,
         spatial_backend=backend)
     exp = tt.ExperimentConfig(model=cfg, batch_size=8,
                               num_epochs=EPOCHS, checkpoint_dir="",
@@ -92,10 +95,16 @@ def main():
                               max_time=Tm, edge_feature_dim=Fe)
             for x in train_ds.sequences))
 
+    import tempfile
+    ckdir = tempfile.mkdtemp(prefix="tgn_ck_")
     t0 = time.time()
     res = trainer.train(train_loader, val_loader, num_epochs=EPOCHS,
-                        checkpoint_dir="", verbose=True)
+                        checkpoint_dir=ckdir, verbose=True)
     dt = time.time() - t0
+    # evaluate the best-val-F1 checkpoint, not the final epoch
+    best = _os.path.join(ckdir, "best_model.ckpt")
+    if _os.path.exists(best):
+        trainer.load_checkpoint(best)
     test_metrics = trainer.test(test_loader)   # includes roc_auc
 
     out = {
