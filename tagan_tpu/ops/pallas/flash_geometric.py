@@ -1407,8 +1407,7 @@ def flash_geometric_attention_bwd(
 # Edge-biased host orchestration
 # ---------------------------------------------------------------------------
 
-def _pad_all(q, k, v, mask, block_m, block_n, extra_rowvecs=(),
-             extra_mats=()):
+def _pad_all(q, k, v, mask, block_m, block_n, extra_mats=()):
     """Pad [H, N, D] operands + [N, N] mats to block multiples. Returns
     (q, k, v, mask, mats, Np, Dp)."""
     H, N, D = q.shape
@@ -1533,8 +1532,6 @@ def flash_biased_attention_bwd(
     if seeds is None:
         seeds = jnp.zeros((2,), jnp.int32)
     seeds = jnp.asarray(seeds, jnp.int32).reshape((2,))
-    Np = _round_up(N, max(block_m, block_n))
-    Dp = _round_up(max(D, Dv), 128)
     q, k, v, mask, (bias,), Np, Dp = _pad_all(q, k, v, mask, block_m,
                                               block_n, extra_mats=(bias,))
     if do.shape[-2] != Np or do.shape[-1] != Dp:
