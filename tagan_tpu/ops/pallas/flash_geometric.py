@@ -33,7 +33,12 @@ in HBM. The kernel-parameterized metrics (gaussian sigma / rbf gamma)
 accumulate d(scale) inside the dq kernel (one extra per-block
 reduction); the cosine metrics run the kernels on L2-normalized inputs
 with the clip gradient applied in-block and the normalization chain
-pulled back outside (O(N·D) in XLA).
+pulled back outside (O(N·D) in XLA). Two backward layouts exist: the
+two-walk dq + dk/dv kernels (7 matmul stages per occupied block) and a
+**fused single-walk kernel** (5 stages, one DMA pass, dq written as
+per-key-strip partials and reduced outside — the splash-attention
+fused-backward pattern); `FUSED_BWD`/`fused=` select, defaulting to
+fused whenever the partial buffer fits `FUSED_DQ_BUDGET`.
 
 **Attention dropout** (the reference's softmax-weight dropout,
 `geometric_attention.py:474-516`) runs *inside* the kernel: a
@@ -1234,6 +1239,210 @@ def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seed_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(ilist_ref, icount_ref, scale_ref, seed_ref,
+                            q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                            delta_ref, *rest, metric, n_i, true_d, bf16,
+                            dropout_rate, block_m, block_n, need_dscale,
+                            packed=False):
+    """Single-walk backward: dq, dk, dv (and dscale) from ONE pass over
+    the transposed plan's (key strip, occupied query block) walk — the
+    block recompute (QK^T, dP) is shared, so 5 matmul stages per block
+    instead of the two-walk path's 7, and q/k/v/do/mask blocks are
+    DMA'd once instead of twice.
+
+    dk/dv accumulate in VMEM scratch along the walk (as in the dkv
+    kernel). dq cannot accumulate across *key strips* without revisiting
+    output blocks (undefined on the TPU pipeline), so each step writes a
+    **dq partial** into slot (j, h, query-block) of a [n_j, H, Np, Dp]
+    HBM buffer — the splash-attention fused-backward pattern
+    (jax/experimental/pallas/ops/tpu/splash_attention) adapted to the
+    compacted block-sparse walks: padded walk steps repeat the last
+    active block index with the buffer unchanged (an idempotent
+    rewrite), and slots the walk never visits are masked out by the
+    caller before the cross-strip sum."""
+    if need_dscale:
+        (dk_ref, dv_ref, dqp_ref, dsc_ref,
+         dk_acc, dv_acc, dq_acc, dsc_acc) = rest
+    else:
+        dk_ref, dv_ref, dqp_ref, dk_acc, dv_acc, dq_acc = rest
+        dsc_ref = dsc_acc = None
+    i = pl.program_id(2)
+    j = pl.program_id(1)
+    h = pl.program_id(0)
+
+    if need_dscale:
+        @pl.when(jnp.logical_and(h == 0,
+                                 jnp.logical_and(j == 0, i == 0)))
+        def _zero_dsc():
+            dsc_ref[:] = jnp.zeros_like(dsc_ref)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+        if need_dscale:
+            dsc_acc[:] = jnp.zeros_like(dsc_acc)
+
+    # An inactive i == 0 step (a key strip with an empty walk) still
+    # computes: its mask block is all-zero by construction (the block is
+    # unoccupied), so every contribution — including the dq partial that
+    # lands in slot (j, h, 0) — is exactly zero.
+    @pl.when(jnp.logical_or(i < icount_ref[j], i == 0))
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse_row = lse_ref[0]        # [BM, 1]
+        delta_row = delta_ref[0]    # [BM, 1]
+        scale = scale_ref[h]
+        keep = None
+        keep_inv = 1.0 / (1.0 - dropout_rate)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref[0], h, ilist_ref[j, i] * block_m,
+                              j * block_n, block_m, block_n,
+                              _keep_thresh(dropout_rate))
+        p, ds, s, sq, qk = _bwd_block(
+            metric, q, k, v, do, lse_row, delta_row,
+            _mask_bits(mask_ref[:], packed), true_d,
+            scale, bf16, keep, keep_inv)
+        if keep is not None:
+            p_v = jnp.where(keep, p * keep_inv, 0.0)
+        else:
+            p_v = p
+        dv_acc[:] = dv_acc[:] + _dot(p_v.T, do, bf16)
+        dk_acc[:] = dk_acc[:] + _chain_dk(metric, ds, s, sq, qk, q, k,
+                                          scale, true_d, bf16)
+        dq_acc[:] = _chain_dq(metric, ds, s, sq, qk, q, k,
+                              scale, true_d, bf16)
+        if need_dscale:
+            common = jnp.sum(ds * s * sq)
+            factor = 1.0 / (scale * scale * scale) \
+                if metric == "gaussian_kernel" else -1.0
+            dsc_acc[:] = dsc_acc[:] + common * factor
+
+    # every step (re)writes its dq partial block — see docstring
+    dqp_ref[0, 0] = dq_acc[:].astype(dqp_ref.dtype)
+
+    @pl.when(i == n_i - 1)
+    def _fin():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+        if need_dscale:
+            hot = jnp.logical_and(
+                jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 0)
+                == h,
+                jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
+                == j)
+            dsc_ref[:] = dsc_ref[:] + jnp.where(hot, dsc_acc[0, 0], 0.0)
+
+
+# Fused single-walk backward (see _flash_bwd_fused_kernel): 5 matmul
+# stages per block vs 7 and half the backward input DMA, at the cost of
+# a [n_j, H, Np, 128] fp32 dq-partial buffer in HBM. None = auto: fused
+# whenever that buffer fits FUSED_DQ_BUDGET (covers the 10K headline at
+# ~210 MB; the 131K single-chip config auto-falls back to the two-walk
+# path). True/False force it for tests/experiments.
+FUSED_BWD: Optional[bool] = None
+FUSED_DQ_BUDGET = 1 << 29    # 512 MB
+
+
+def _bwd_fused_call(q, k, v, do, mask_op, lse_i, delta_i, scale, seed,
+                    ilist, icount, *, metric, block_m, block_n, bf16,
+                    dropout_rate, need_dscale, packed, mw, H, N, D, Dv,
+                    Np, Dp, n_i, n_j, n_walk_i):
+    """Launch the fused single-walk backward and reduce the dq partials.
+
+    Slots of the [n_j, H, Np, Dp] partial buffer that the compacted walk
+    never visits hold uninitialized memory; a walk-derived validity mask
+    zeroes them (jnp.where — a select, so even NaN garbage is inert)
+    before the cross-strip sum."""
+    out_specs = [
+        pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_m, Dp),
+                     lambda h, j, i, il, ic, sc, sd: (j, h, il[j, i], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((H, Np, Dp), k.dtype),
+        jax.ShapeDtypeStruct((H, Np, Dp), v.dtype),
+        jax.ShapeDtypeStruct((n_j, H, Np, Dp), q.dtype),
+    ]
+    scratch = [pltpu.VMEM((block_n, Dp), jnp.float32),
+               pltpu.VMEM((block_n, Dp), jnp.float32),
+               pltpu.VMEM((block_m, Dp), jnp.float32)]
+    if need_dscale:
+        # FULL-array block (constant index map), one-hot accumulated —
+        # same lowering rule as the two-walk dq kernel's dscale output
+        out_specs.append(pl.BlockSpec((H, n_j), lambda h, j, i, *_: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((H, n_j), jnp.float32))
+        scratch.append(pltpu.VMEM((1, 1), jnp.float32))
+
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(H, n_j, n_walk_i),
+        in_specs=[
+            pl.BlockSpec((1, block_m, Dp),
+                         lambda h, j, i, il, ic, sc, sd: (h, il[j, i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, mw),
+                         lambda h, j, i, il, ic, sc, sd: (il[j, i], j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, Dp),
+                         lambda h, j, i, il, ic, sc, sd: (h, il[j, i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, 1),
+                         lambda h, j, i, il, ic, sc, sd: (h, il[j, i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, 1),
+                         lambda h, j, i, il, ic, sc, sd: (h, il[j, i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+    )
+    res = pl.pallas_call(
+        functools.partial(_flash_bwd_fused_kernel, metric=metric,
+                          n_i=n_walk_i, true_d=D, bf16=bf16,
+                          dropout_rate=dropout_rate, block_m=block_m,
+                          block_n=block_n, need_dscale=need_dscale,
+                          packed=packed),
+        grid_spec=spec,
+        out_shape=tuple(out_shapes),
+    )(ilist, icount, scale, seed, q, k, v, mask_op, do, lse_i, delta_i)
+    if need_dscale:
+        dk, dv, dqp, dsc = res
+        dscale = jnp.sum(dsc, axis=1)                      # [H]
+    else:
+        dk, dv, dqp = res
+        dscale = None
+
+    # validity: visited[j, qb] = strip j's walk wrote slot qb
+    il = ilist[:, :n_walk_i]
+    jj = jnp.broadcast_to(jnp.arange(n_j)[:, None], il.shape)
+    pos = jnp.broadcast_to(jnp.arange(n_walk_i)[None, :], il.shape)
+    live = (pos < icount[:, None]).astype(jnp.int32)
+    visited = jnp.zeros((n_j, n_i), jnp.int32).at[jj, il].add(live) > 0
+    # an empty walk still writes zeros into slot (j, h, 0) — harmless,
+    # and marking it visited costs nothing (the content is exact zero)
+    visited = visited.at[:, 0].set(
+        jnp.logical_or(visited[:, 0], icount == 0))
+    vrows = jnp.repeat(visited, block_m, axis=1)           # [n_j, Np]
+    dq = jnp.sum(jnp.where(vrows[:, None, :, None], dqp, 0.0), axis=0)
+
+    if need_dscale:
+        return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv], dscale
+    return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv]
+
+
 def flash_geometric_attention_bwd(
     q, k, v, mask, out, lse, do,
     metric: str = "scaled_dot_product",
@@ -1242,13 +1451,22 @@ def flash_geometric_attention_bwd(
     plan=None, plan_t=None,
     seed: Optional[jax.Array] = None, dropout_rate: float = 0.0,
     need_dscale: bool = False,
+    fused: Optional[bool] = None,
 ):
     """Pallas flash backward: (dq, dk, dv[, dscale]) without
     materializing [N, N] scores in HBM — every MXU metric. For the
     cosine metrics, q/k must already be L2-normalized (the caller pulls
     the normalization chain back — see `_flash_diff_bwd`).
     `plan`/`plan_t` reuse the forward's block-sparsity plans (possibly
-    pre-shrunk — the walk extent is each plan's width)."""
+    pre-shrunk — the walk extent is each plan's width).
+
+    `fused` selects the kernel layout: True = single-walk fused kernel
+    (5 matmul stages/block, dq partials per key strip — see
+    `_flash_bwd_fused_kernel`; measured 1.16x the two-walk backward on
+    v5e at the 10K-node headline config), False = the two-walk dq + dkv
+    kernels (no extra HBM buffer — required once the [n_j, H, Np, 128]
+    partial would not fit), None = module default `FUSED_BWD`, itself
+    defaulting to a size-based auto rule (`FUSED_DQ_BUDGET`)."""
     if metric not in BWD_METRICS:
         raise NotImplementedError(metric)
     H, N, D = q.shape
@@ -1295,6 +1513,23 @@ def flash_geometric_attention_bwd(
     jcount = jnp.minimum(jcount, n_walk_j)
     icount = jnp.minimum(icount, n_walk_i)
 
+    packed = _mask_packable(Np, block_n)
+    mask_op = _pack_mask(mask, block_n) if packed else mask
+    mw = block_n // 8 if packed else block_n
+
+    if fused is None:
+        fused = FUSED_BWD
+    if fused is None:
+        fused = n_j * H * Np * Dp * 4 <= FUSED_DQ_BUDGET
+    if fused:
+        return _bwd_fused_call(
+            q, k, v, do, mask_op, lse_i, delta_i, scale, seed,
+            ilist, icount, metric=metric, block_m=block_m,
+            block_n=block_n, bf16=bf16, dropout_rate=dropout_rate,
+            need_dscale=need_dscale, packed=packed, mw=mw, H=H, N=N,
+            D=D, Dv=Dv, Np=Np, Dp=Dp, n_i=n_i, n_j=n_j,
+            n_walk_i=n_walk_i)
+
     dq_out_specs = pl.BlockSpec((1, block_m, Dp),
                                 lambda h, i, j, *_: (h, i, 0),
                                 memory_space=pltpu.VMEM)
@@ -1311,9 +1546,6 @@ def flash_geometric_attention_bwd(
                         jax.ShapeDtypeStruct((H, n_i), jnp.float32))
         dq_scratch.append(pltpu.VMEM((1, 1), jnp.float32))
 
-    packed = _mask_packable(Np, block_n)
-    mask_op = _pack_mask(mask, block_n) if packed else mask
-    mw = block_n // 8 if packed else block_n
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(H, n_i, n_walk_j),

@@ -93,8 +93,17 @@ def test_flash_layer_integration():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.fixture(params=[False, True], ids=["twowalk", "fusedbwd"])
+def _bwd_path(request, monkeypatch):
+    """Run a backward test under both kernel layouts: the two-walk
+    dq + dkv kernels and the fused single-walk kernel (dq partials per
+    key strip, masked + summed outside)."""
+    monkeypatch.setattr(FG, "FUSED_BWD", request.param)
+    return request.param
+
+
 @pytest.mark.parametrize("metric", FG.BWD_METRICS)
-def test_flash_backward_matches_xla_grads(metric):
+def test_flash_backward_matches_xla_grads(metric, _bwd_path):
     """custom_vjp backward (Pallas dq/dk/dv kernels) vs XLA autodiff of
     the dense oracle — fp32-exact in interpreter mode."""
     q, k, v, adj = _data(N=70, H=2, Dh=16, seed=4)
@@ -234,7 +243,7 @@ def test_flash_mahalanobis_matches_dense():
 
 
 @pytest.mark.parametrize("metric", ["gaussian_kernel", "rbf_kernel"])
-def test_flash_learnable_scale_grads(metric):
+def test_flash_learnable_scale_grads(metric, _bwd_path):
     """Learnable sigma/gamma now train through the flash forward: grads
     (incl. d(scale)) match the dense path."""
     from tagan_tpu.nn import GeometricAttention
@@ -306,7 +315,7 @@ def test_flash_dropout_matches_hash_oracle(metric):
 @pytest.mark.parametrize("metric", ["scaled_dot_product",
                                     "squared_euclidean",
                                     "cosine_distance"])
-def test_flash_dropout_backward_matches_hash_oracle(metric):
+def test_flash_dropout_backward_matches_hash_oracle(metric, _bwd_path):
     """The backward kernels regenerate the identical keep mask from
     global coordinates (incl. the transposed dk/dv walk): grads match
     XLA autodiff of the same-mask dense oracle."""
