@@ -37,8 +37,14 @@ pulled back outside (O(N·D) in XLA). Two backward layouts exist: the
 two-walk dq + dk/dv kernels (7 matmul stages per occupied block) and a
 **fused single-walk kernel** (5 stages, one DMA pass, dq written as
 per-key-strip partials and reduced outside — the splash-attention
-fused-backward pattern); `FUSED_BWD`/`fused=` select, defaulting to
-fused whenever the partial buffer fits `FUSED_DQ_BUDGET`.
+fused-backward pattern); `FUSED_BWD`/`fused=` select. The auto rule
+enables fused only when BOTH the HBM dq-partial buffer fits
+`FUSED_DQ_BUDGET` AND an analytic scoped-VMEM estimate of the fused
+kernel's working set (`_fused_bwd_vmem_bytes` — double-buffered block
+windows + live score-block temporaries) fits `FUSED_VMEM_BUDGET`; at
+the 10K headline geometry (block 512x1024) the working set exceeds the
+chip's 16 MB scoped-VMEM limit (measured 17.77 MB on v5e), so auto
+selects the two-walk path there.
 
 **Attention dropout** (the reference's softmax-weight dropout,
 `geometric_attention.py:474-516`) runs *inside* the kernel: a
@@ -1340,11 +1346,39 @@ def _flash_bwd_fused_kernel(ilist_ref, icount_ref, scale_ref, seed_ref,
 # Fused single-walk backward (see _flash_bwd_fused_kernel): 5 matmul
 # stages per block vs 7 and half the backward input DMA, at the cost of
 # a [n_j, H, Np, 128] fp32 dq-partial buffer in HBM. None = auto: fused
-# whenever that buffer fits FUSED_DQ_BUDGET (covers the 10K headline at
-# ~210 MB; the 131K single-chip config auto-falls back to the two-walk
-# path). True/False force it for tests/experiments.
+# only when that buffer fits FUSED_DQ_BUDGET AND the analytic
+# scoped-VMEM estimate fits FUSED_VMEM_BUDGET (the large-block layouts
+# blow the chip's 16 MB scoped-VMEM limit — 17.77 MB measured on v5e at
+# block 512x1024, BENCH_r02; CPU interpret mode cannot catch this).
+# True/False force it for tests/experiments.
 FUSED_BWD: Optional[bool] = None
 FUSED_DQ_BUDGET = 1 << 29    # 512 MB
+# Safety margin under the 16 MB scoped-VMEM hardware limit; the
+# estimate itself is slightly conservative (18.6 MB modeled vs 17.77 MB
+# measured at block 512x1024).
+FUSED_VMEM_BUDGET = 14 << 20
+
+
+def _fused_bwd_vmem_bytes(block_m: int, block_n: int, Dp: int,
+                          packed: bool = False,
+                          need_dscale: bool = False) -> int:
+    """Analytic scoped-VMEM estimate for the fused single-walk backward
+    kernel: Mosaic's scoped allocation = double-buffered in/out block
+    windows + single-buffered scratch + live [BM, BN] fp32 score-block
+    temporaries (qk/s, p, dp, ds + one spill — ~5 live at once; the
+    measured footprint at block 512x1024/Dp 128 is 17.77 MB, this model
+    gives 18.6 MB)."""
+    f32 = 4
+    mb = block_m * Dp * f32              # query-sized window
+    nb = block_n * Dp * f32              # key-strip-sized window
+    mask_b = block_m * (block_n // 8 if packed else block_n)
+    # in: q, do, dqp-out are mb; k, v, dk-out, dv-out are nb;
+    # lse + delta are [BM, 1] rows — all double-buffered by the pipeline
+    windows = 2 * (3 * mb + 4 * nb + mask_b + 2 * block_m * f32)
+    scratch = 2 * nb + mb                # dk_acc, dv_acc, dq_acc
+    temporaries = 5 * block_m * block_n * f32
+    extra = (block_m * 16 * f32) if need_dscale else 0
+    return windows + scratch + temporaries + extra
 
 
 def _bwd_fused_call(q, k, v, do, mask_op, lse_i, delta_i, scale, seed,
@@ -1369,7 +1403,10 @@ def _bwd_fused_call(q, k, v, do, mask_op, lse_i, delta_i, scale, seed,
     out_shapes = [
         jax.ShapeDtypeStruct((H, Np, Dp), k.dtype),
         jax.ShapeDtypeStruct((H, Np, Dp), v.dtype),
-        jax.ShapeDtypeStruct((n_j, H, Np, Dp), q.dtype),
+        # fp32 regardless of q.dtype: the FUSED_DQ_BUDGET math assumes
+        # 4-byte partials, and the cross-strip reduction must accumulate
+        # in fp32 (the two-walk path gets this via its VMEM scratch)
+        jax.ShapeDtypeStruct((n_j, H, Np, Dp), jnp.float32),
     ]
     scratch = [pltpu.VMEM((block_n, Dp), jnp.float32),
                pltpu.VMEM((block_n, Dp), jnp.float32),
@@ -1436,7 +1473,8 @@ def _bwd_fused_call(q, k, v, do, mask_op, lse_i, delta_i, scale, seed,
     visited = visited.at[:, 0].set(
         jnp.logical_or(visited[:, 0], icount == 0))
     vrows = jnp.repeat(visited, block_m, axis=1)           # [n_j, Np]
-    dq = jnp.sum(jnp.where(vrows[:, None, :, None], dqp, 0.0), axis=0)
+    dq = jnp.sum(jnp.where(vrows[:, None, :, None], dqp, 0.0),
+                 axis=0).astype(q.dtype)
 
     if need_dscale:
         return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv], dscale
@@ -1462,11 +1500,15 @@ def flash_geometric_attention_bwd(
 
     `fused` selects the kernel layout: True = single-walk fused kernel
     (5 matmul stages/block, dq partials per key strip — see
-    `_flash_bwd_fused_kernel`; measured 1.16x the two-walk backward on
-    v5e at the 10K-node headline config), False = the two-walk dq + dkv
-    kernels (no extra HBM buffer — required once the [n_j, H, Np, 128]
-    partial would not fit), None = module default `FUSED_BWD`, itself
-    defaulting to a size-based auto rule (`FUSED_DQ_BUDGET`)."""
+    `_flash_bwd_fused_kernel`), False = the two-walk dq + dkv kernels
+    (no extra HBM buffer — required once the [n_j, H, Np, 128] partial
+    would not fit), None = module default `FUSED_BWD`, itself defaulting
+    to a size-based auto rule: fused only when the HBM partial fits
+    `FUSED_DQ_BUDGET` AND the analytic scoped-VMEM working set
+    (`_fused_bwd_vmem_bytes`) fits `FUSED_VMEM_BUDGET` — at the 10K
+    headline geometry (block 512x1024) the fused layout exceeds the
+    16 MB scoped-VMEM chip limit (17.77 MB measured on v5e), so auto
+    picks two-walk there."""
     if metric not in BWD_METRICS:
         raise NotImplementedError(metric)
     H, N, D = q.shape
@@ -1520,7 +1562,10 @@ def flash_geometric_attention_bwd(
     if fused is None:
         fused = FUSED_BWD
     if fused is None:
-        fused = n_j * H * Np * Dp * 4 <= FUSED_DQ_BUDGET
+        fused = (n_j * H * Np * Dp * 4 <= FUSED_DQ_BUDGET
+                 and _fused_bwd_vmem_bytes(block_m, block_n, Dp, packed,
+                                           need_dscale)
+                 <= FUSED_VMEM_BUDGET)
     if fused:
         return _bwd_fused_call(
             q, k, v, do, mask_op, lse_i, delta_i, scale, seed,

@@ -124,7 +124,7 @@ def test_flash_backward_matches_xla_grads(metric, _bwd_path):
                                    err_msg=f"{metric} d{n}")
 
 
-def test_flash_backward_with_shared_plan_and_shrink():
+def test_flash_backward_with_shared_plan_and_shrink(_bwd_path):
     """Grads through the differentiable path are identical whether the
     block-sparsity plans are computed internally, passed in, or
     statically shrunk to the occupancy bound."""
@@ -151,7 +151,7 @@ def test_flash_backward_with_shared_plan_and_shrink():
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-6)
 
 
-def test_flash_backward_bf16_close():
+def test_flash_backward_bf16_close(_bwd_path):
     """bf16 backward kernels stay within bf16-class tolerance of the
     fp32 grads."""
     q, k, v, adj = _data(N=64, H=2, Dh=16, seed=9)
@@ -167,6 +167,24 @@ def test_flash_backward_bf16_close():
     for a, b in zip(g32, g16):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0.05, atol=0.05)
+
+
+def test_fused_auto_rule_respects_vmem_budget():
+    """The FUSED_BWD=None auto rule must NOT pick the fused layout at
+    geometries whose scoped-VMEM working set exceeds the 16 MB chip
+    limit. Regression for BENCH_r02 rc=1: at the 10K headline config
+    (block 512x1024, Dp=128) the fused kernel measured 17.77 MB scoped
+    VMEM on v5e and failed to compile — the analytic estimate must
+    exclude it while still admitting small-block layouts."""
+    # the 10K headline geometry: must exceed the budget -> two-walk
+    est = FG._fused_bwd_vmem_bytes(512, 1024, 128)
+    assert est > FG.FUSED_VMEM_BUDGET
+    # estimate is in the right ballpark of the measured ~17.77M
+    # footprint at that geometry (not wildly conservative)
+    assert int(16.5 * 2**20) <= est <= int(22 * 2**20)
+    # small-block layouts (the fused kernel's home turf) still qualify
+    assert FG._fused_bwd_vmem_bytes(512, 512, 128) <= FG.FUSED_VMEM_BUDGET
+    assert FG._fused_bwd_vmem_bytes(256, 256, 128) <= FG.FUSED_VMEM_BUDGET
 
 
 def test_plans_from_edges_match_mask_plans():
