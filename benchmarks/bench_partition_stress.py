@@ -17,7 +17,15 @@ be validated here, per VERDICT round 1 item 2:
       at this size), fwd+bwd+Adam, measured edges/s. This is the
       workload one graph shard of the 1M-node config handles.
 
-    python benchmarks/bench_partition_stress.py cpu|tpu [quick]
+  part C (single real TPU chip): the same 131K-node scale through the
+      round-3 HYBRID backend — band edges (the post-RCM locality
+      structure real graphs have, same locality=0.95 premise as part A)
+      via the flash kernel with COMPACT occupied-block masks (mask HBM
+      scales with occupied blocks, not the impossible 17 GB [N, N]),
+      residual long-range edges via the csr partial, merged exactly by
+      logsumexp. Reports edges/s vs part B's csr wall.
+
+    python benchmarks/bench_partition_stress.py cpu|tpu|hybrid [quick]
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -171,10 +179,86 @@ def part_b_tpu(quick=False):
     return out
 
 
+def part_c_hybrid(quick=False):
+    """131K nodes through the hybrid band+residual backend on one chip.
+
+    Same 95%-local structure as part A (the post-RCM band of real
+    graphs; a uniformly random graph has no locality for ANY sparse
+    method to exploit — it occupies every [512, 1024] block, see
+    results_partition_tpu.json's csr row for that wall)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import tagan_tpu as tt
+
+    N, DEG, T, F = (8192 if quick else 131_072), 16, 2, 8
+    W = max(N // 256, 8)
+    snaps, E = _snaps(N, DEG, T, F, locality=0.95, width=W)
+    t0 = time.time()
+    # host-side prep stays on the CPU backend: build_sequence commits
+    # to the default device, and with_hybrid_plan reads arrays back —
+    # a device round-trip through the TPU relay costs ~60 s where the
+    # CPU path costs ~0.1 s (CLAUDE.md gotcha)
+    with jax.default_device(jax.devices("cpu")[0]):
+        seq = tt.build_sequence(snaps, max_nodes=N, max_edges=E,
+                                max_time=T, dense_adj=False)
+        seq = seq.with_hybrid_plan(block_m=512, block_n=1024)
+    host_s = time.time() - t0
+    S = int(seq.hyb_mask_blocks.shape[1])
+    n_blocks_full = (N // 512) * ((N + 1023) // 1024)
+    mask_mb = float(np.prod(seq.hyb_mask_blocks.shape)) / 2**20
+    res_edges = int(seq.hyb_res[2].sum())
+    seq = jax.device_put(seq)
+    cfg = tt.TAGANConfig(hidden_dim=64, num_heads=4, num_layers=2,
+                         node_feature_dim=F, output_dim=1,
+                         loss_type="bce", dropout=0.0,
+                         spatial_backend="hybrid", remat=True)
+    model = tt.TAGAN(cfg)
+    tx = optax.adam(1e-3)
+    params = model.init(jax.random.key(0))
+    opt = tx.init(params)
+    lbl = jnp.asarray(1.0)
+    ITERS = 2 if quick else 5
+
+    @jax.jit
+    def many(p, o, s):
+        def body(_, carry):
+            p, o = carry
+            loss, g = jax.value_and_grad(
+                lambda pp: model(pp, s, lbl).loss)(p)
+            up, o = tx.update(g, o, p)
+            return optax.apply_updates(p, up), o
+        p, o = jax.lax.fori_loop(0, ITERS, body, (p, o))
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(b.astype(jnp.float32)), p, 0.0)
+
+    chk = float(many(params, opt, seq))
+    assert np.isfinite(chk)
+    t0 = time.perf_counter()
+    float(many(params, opt, seq))
+    dt = (time.perf_counter() - t0) / ITERS
+    out = {
+        "part": "C 131K-node hybrid (band flash w/ compact masks + "
+                "csr residual) single chip",
+        "nodes": N, "edges_per_snapshot": E, "snapshots": T,
+        "locality": 0.95, "band_width": W,
+        "occupied_slots": S, "slots_of_full": n_blocks_full,
+        "mask_store_mb": round(mask_mb, 1),
+        "residual_edges_per_snapshot": res_edges // T,
+        "host_prep_s": round(host_s, 1),
+        "ms_per_step": round(dt * 1e3, 1),
+        "edges_per_s": round(E * T / dt, 0),
+    }
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "cpu"
     quick = "quick" in sys.argv[2:]
-    res = part_a_cpu(quick) if which == "cpu" else part_b_tpu(quick)
+    fn = {"cpu": part_a_cpu, "tpu": part_b_tpu,
+          "hybrid": part_c_hybrid}[which]
+    res = fn(quick)
     path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                          f"results_partition_{which}.json")
     with open(path, "w") as f:

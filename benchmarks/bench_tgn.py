@@ -74,11 +74,15 @@ def main():
     # csr/flash: the sparse edge-bias paths — the dense backend would
     # build the [B, T, N, N, hidden] edge-feature tensor (23 GB here)
     backend = _os.environ.get("BACKEND", "csr")
+    # node_pooling="attention": the burst lives in ONE node of ~800 —
+    # mean pooling dilutes it into a degenerate all-positive classifier
+    # (round-2 result: specificity 0.0, AUC 0.58); the learned node
+    # scorer lets the readout find the needle
     cfg = tt.TAGANConfig(
         hidden_dim=64, num_heads=4, num_layers=2, node_feature_dim=8,
         edge_feature_dim=Fe, use_edge_features=Fe > 0, output_dim=1,
         loss_type="bce", dropout=0.05, learning_rate=3e-3,
-        spatial_backend=backend)
+        node_pooling="attention", spatial_backend=backend)
     exp = tt.ExperimentConfig(model=cfg, batch_size=8,
                               num_epochs=EPOCHS, checkpoint_dir="",
                               early_stopping_patience=EPOCHS + 1)
@@ -105,7 +109,30 @@ def main():
     best = _os.path.join(ckdir, "best_model.ckpt")
     if _os.path.exists(best):
         trainer.load_checkpoint(best)
-    test_metrics = trainer.test(test_loader)   # includes roc_auc
+
+    def _labels_of(loader):
+        out = []
+        for item in loader:
+            out.append(np.asarray(item[1])[np.asarray(item[-1])])
+        return np.concatenate(out)
+
+    # decision threshold tuned on VAL F1 (the reference leaves four
+    # inconsistent hardcoded thresholds around, B8; tuning on val is the
+    # principled version), then applied to test
+    from tagan_tpu.train.metrics import calculate_metrics
+    val_preds = trainer.predict(val_loader)
+    val_labels = _labels_of(val_loader)
+    ths = np.linspace(0.05, 0.95, 19)
+    f1s = [calculate_metrics(val_preds, val_labels, threshold=t)["f1"]
+           for t in ths]
+    best_th = float(ths[int(np.argmax(f1s))])
+    test_preds = trainer.predict(test_loader)
+    test_labels = _labels_of(test_loader)
+    test_metrics = calculate_metrics(test_preds, test_labels,
+                                     threshold=best_th)
+    test_metrics["threshold"] = best_th
+    loss_only = trainer.test(test_loader)
+    test_metrics["loss"] = loss_only.get("loss", float("nan"))
 
     out = {
         "config": f"users={N_USERS} items={N_ITEMS} events={N_EVENTS} "

@@ -91,6 +91,12 @@ class TAGANConfig:
     # Head options (classification.py:756-767)
     pooling_type: str = "attention"
     head_num_layers: int = 2
+    # Node -> graph pooling per timestep (forward step 5,
+    # model.py:377-427). The reference hardwires mean; "max" and
+    # "attention" (learned Linear-tanh-Linear(1) scorer over nodes) are
+    # first-class here — needle-in-haystack labels (one active node
+    # among ~1K, e.g. the TGN state-change task) die under mean pooling.
+    node_pooling: str = "mean"
 
     # ---- TPU-native fields (no reference analog) ----
     # Static padded sizes for jit: slots per sequence and max edges per
@@ -161,11 +167,15 @@ class TAGANConfig:
         if self.scale_fusion not in ("concat", "sum", "weighted_sum",
                                      "attention"):
             raise ValueError(f"unknown scale_fusion {self.scale_fusion}")
-        if self.spatial_backend not in ("dense", "csr", "flash", "ring"):
+        if self.spatial_backend not in ("dense", "csr", "flash", "ring",
+                                        "hybrid"):
             raise ValueError("spatial_backend must be 'dense', 'csr', "
-                             "'flash', or 'ring'")
+                             "'flash', 'ring', or 'hybrid'")
         if self.compat_mode not in ("intended", "executed"):
             raise ValueError("compat_mode must be 'intended' or 'executed'")
+        if self.node_pooling not in ("mean", "max", "attention"):
+            raise ValueError("node_pooling must be 'mean', 'max', or "
+                             f"'attention', got {self.node_pooling}")
 
     # -- reference rule for the geometric metric (model.py:80) -----------
     @property

@@ -73,6 +73,18 @@ class SnapshotSequence:
     # compaction) and ring_bnd_idx i32[T, G, Bp] lists each shard's
     # exported boundary rows
     ring_bnd_idx: Optional[jax.Array] = None
+    # hybrid band+residual plan (set by `with_hybrid_plan`, consumed by
+    # ``spatial_backend="hybrid"``): per snapshot, the near-diagonal
+    # BAND edges (incl. self loops) as a compact occupied-block mask
+    # store + walk plans for the flash kernel, and the long-range
+    # RESIDUAL edges as a padded COO list for the csr partial.
+    # hyb_mask_blocks i8[T, S, BM, mw]; hyb_plan/hyb_plan_t 3-tuples of
+    # i32 arrays (list [T, n, W], count [T, n], slot [T, n, W]);
+    # hyb_res (eq, ek, em) each [T, Er].
+    hyb_mask_blocks: Optional[jax.Array] = None
+    hyb_plan: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
+    hyb_plan_t: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
+    hyb_res: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
 
     @property
     def num_steps(self) -> int:
@@ -202,6 +214,129 @@ class SnapshotSequence:
             ring_em=jnp.asarray(np.stack(em_t)),
             ring_bnd_idx=None if bnd_t is None
             else jnp.asarray(np.stack(bnd_t)))
+
+
+    def with_hybrid_plan(self, band_width: Optional[int] = None,
+                         block_m: int = 512, block_n: int = 1024,
+                         pack: Optional[bool] = None,
+                         band_quantile: float = 0.95
+                         ) -> "SnapshotSequence":
+        """Attach the band + residual split consumed by
+        ``spatial_backend="hybrid"`` (host-side, numpy). Edges within
+        ``band_width`` slots of the diagonal (|src − dst| <=
+        band_width) — the dense majority after RCM slot assignment
+        (``build_sequence(reorder="rcm")``) — become the BAND: a
+        compact occupied-block mask store + flash walk plans whose HBM
+        footprint scales with the occupied blocks, not N². The
+        remaining long-range edges become the RESIDUAL, kept as a
+        padded COO list for the O(E) csr partial. Self loops of active
+        nodes are folded into the band (the dense path's eye-add,
+        graph_attention.py:102).
+
+        ``band_width=None`` picks the ``band_quantile`` quantile of
+        |src − dst| over all valid edges. ``pack=None`` bit-packs the
+        mask store 8x whenever block_n is 1024-divisible (the packed
+        lane-dim legality rule)."""
+        N = self.max_nodes
+        bm, bn = block_m, block_n
+        Np = ((N + max(bm, bn) - 1) // max(bm, bn)) * max(bm, bn)
+        n_i, n_j = Np // bm, Np // bn
+        if pack is None:
+            pack = bn % 1024 == 0
+        if pack and bn % 1024 != 0:
+            raise ValueError("pack=True needs block_n % 1024 == 0")
+        src = np.asarray(self.edge_src)
+        dst = np.asarray(self.edge_dst)
+        em = np.asarray(self.edge_mask)
+        nm = np.asarray(self.node_mask)
+        T = self.num_steps
+        gap = np.abs(src.astype(np.int64) - dst.astype(np.int64))
+        if band_width is None:
+            valid = gap[em]
+            band_width = int(np.quantile(valid, band_quantile)) \
+                if valid.size else bn
+        band_sel = em & (gap <= band_width)
+        res_sel = em & ~band_sel
+        Er = max(int(res_sel.sum(axis=1).max()), 1)
+
+        # per-snapshot occupancy of band + self loops
+        occs = []
+        for t in range(T):
+            occ = np.zeros((n_i, n_j), bool)
+            bs, bd = src[t][band_sel[t]], dst[t][band_sel[t]]
+            occ[bs // bm, bd // bn] = True
+            d = np.nonzero(nm[t])[0]
+            occ[d // bm, d // bn] = True
+            occs.append(occ)
+        S = max(max(int(o.sum()) for o in occs), 1)
+        Wj = max(max(int(o.sum(axis=1).max()) for o in occs), 1)
+        Wi = max(max(int(o.sum(axis=0).max()) for o in occs), 1)
+
+        def _rows_plan(occ_mat, W):
+            R = occ_mat.shape[0]
+            cnt = occ_mat.sum(axis=1).astype(np.int32)
+            lst = np.zeros((R, W), np.int32)
+            for r in range(R):
+                idx = np.nonzero(occ_mat[r])[0].astype(np.int32)
+                if idx.size == 0:
+                    continue
+                take = idx[:W]
+                lst[r, :take.size] = take
+                lst[r, take.size:] = take[-1]
+            return lst, np.minimum(cnt, W)
+
+        mws = bn // 8 if pack else bn
+        mask_blocks = np.zeros((T, S, bm, mws), np.int8)
+        jl = np.zeros((T, n_i, Wj), np.int32)
+        jc = np.zeros((T, n_i), np.int32)
+        js = np.zeros((T, n_i, Wj), np.int32)
+        il = np.zeros((T, n_j, Wi), np.int32)
+        ic = np.zeros((T, n_j), np.int32)
+        isl = np.zeros((T, n_j, Wi), np.int32)
+        req = np.zeros((T, Er), np.int32)
+        rek = np.zeros((T, Er), np.int32)
+        rem = np.zeros((T, Er), bool)
+        for t in range(T):
+            occ = occs[t]
+            slot_flat = np.cumsum(occ.reshape(-1)).astype(np.int32) - 1
+            jl[t], jc[t] = _rows_plan(occ, Wj)
+            il[t], ic[t] = _rows_plan(occ.T, Wi)
+            js[t] = np.clip(
+                slot_flat[np.arange(n_i)[:, None] * n_j + jl[t]], 0,
+                S - 1)
+            isl[t] = np.clip(
+                slot_flat[il[t] * n_j + np.arange(n_j)[:, None]], 0,
+                S - 1)
+            # band bits (+ self loops) into their slots
+            bs, bd = src[t][band_sel[t]], dst[t][band_sel[t]]
+            d = np.nonzero(nm[t])[0]
+            rows = np.concatenate([bs, d])
+            cols = np.concatenate([bd, d])
+            slot_e = slot_flat[(rows // bm) * n_j + cols // bn]
+            if pack:
+                # interleaved bit layout of ops.pallas._pack_mask:
+                # within a block's bn columns, col c -> bit c // (bn/8)
+                # of byte c % (bn/8)
+                byte = (cols % bn) % mws
+                bit = (cols % bn) // mws
+                np.bitwise_or.at(
+                    mask_blocks[t], (slot_e, rows % bm, byte),
+                    (1 << bit).astype(np.int8))
+            else:
+                mask_blocks[t][slot_e, rows % bm, cols % bn] = 1
+            r = res_sel[t]
+            cntr = int(r.sum())
+            req[t, :cntr] = src[t][r]
+            rek[t, :cntr] = dst[t][r]
+            rem[t, :cntr] = True
+        return dataclasses.replace(
+            self,
+            hyb_mask_blocks=jnp.asarray(mask_blocks),
+            hyb_plan=(jnp.asarray(jl), jnp.asarray(jc), jnp.asarray(js)),
+            hyb_plan_t=(jnp.asarray(il), jnp.asarray(ic),
+                        jnp.asarray(isl)),
+            hyb_res=(jnp.asarray(req), jnp.asarray(rek),
+                     jnp.asarray(rem)))
 
 
 # ---------------------------------------------------------------------------

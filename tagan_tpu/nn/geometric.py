@@ -265,6 +265,93 @@ class GeometricAttention:
             out = M.layer_norm(p["ln2"], out)
         return out
 
+    # -- forward (hybrid band + residual backend) ------------------------
+    def apply_hybrid(
+        self,
+        p: M.Params,
+        x: jax.Array,                 # [N, hidden]
+        mask_blocks: jax.Array,       # i8[S, BM, BN or BN//8] band store
+        band_plan, band_plan_t,       # 3-tuple compact plans
+        res_eq: jax.Array,            # i32[Er] residual query node
+        res_ek: jax.Array,            # i32[Er] residual key node
+        res_em: jax.Array,            # bool[Er]
+        node_mask: jax.Array,         # bool[N]
+        *,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+        block_m: int = 512,
+        block_n: int = 1024,
+        bf16: bool = False,
+    ) -> jax.Array:
+        """Hybrid backend for very large graphs with locality (the
+        post-RCM band structure, `core.graph.build_sequence(
+        reorder="rcm")`): the BAND edges — the dense near-diagonal
+        majority — run through the flash kernel with COMPACT mask
+        blocks (HBM scales with occupied blocks, not N²; SURVEY §2.9's
+        >HBM-graph mandate, transcending the reference's
+        O(N²) densification, graph_attention.py:96-105), while the few
+        long-range RESIDUAL edges run through the O(E) csr path. The
+        two partial softmaxes merge EXACTLY into the union softmax via
+        their logsumexps (`ops.sparse.merge_attention_partials`; the
+        flash kernel's lse output is differentiable for this). Self
+        loops must live in the band structure (its builder adds them);
+        the residual set must be disjoint from the band.
+
+        Attention dropout runs in-kernel on the band part and per-edge
+        on the residual part — dropping normalized weights is linear,
+        so the merged result is exact union-softmax dropout."""
+        from ..ops.pallas.flash_geometric import (
+            MXU_METRICS, flash_geometric_attention_lse)
+        metric = self.distance_metric
+        if metric not in MXU_METRICS and metric != "mahalanobis":
+            raise NotImplementedError(
+                f"metric {metric} is not MXU-expressible; the hybrid "
+                "backend needs the flash kernel — use 'csr'")
+        sigma, gamma, _ = self._metric_params(p)
+        scale = sigma if sigma is not None else gamma
+        att_rate = 0.0
+        r_band = r_res = None
+        band_seed = None
+        if not deterministic and rng is not None and self.dropout > 0.0:
+            rng, r_band, r_res = jax.random.split(rng, 3)
+            att_rate = self.dropout
+            band_seed = jax.random.randint(
+                r_band, (1,), 0, jnp.iinfo(jnp.int32).max,
+                dtype=jnp.int32)
+        identity = x
+        h = M.layer_norm(p["ln1"], x) if self.use_layer_norm else x
+        q = self._split_heads(M.linear(p["q"], h))   # [H, N, Dh]
+        k = self._split_heads(M.linear(p["k"], h))
+        v = self._split_heads(M.linear(p["v"], h))
+        if metric == "mahalanobis":
+            # factor space on BOTH parts so band and residual scores
+            # agree (maha(q,k; FᵀF) = |Fq − Fk|²)
+            metric = "euclidean"
+            if self.learnable_distance:
+                f = p["cov_factors"]                       # [H, R, Dh]
+                q = jnp.einsum("...hnd,hrd->...hnr", q, f)
+                k = jnp.einsum("...hnd,hrd->...hnr", k, f)
+        from ..ops import sparse as S2
+        band = flash_geometric_attention_lse(
+            q, k, v, mask_blocks, metric=metric, scale_param=scale,
+            block_m=block_m, block_n=block_n, bf16=bf16,
+            plan=band_plan, plan_t=band_plan_t,
+            dropout_rate=att_rate, dropout_seed=band_seed)
+        res = S2.edge_attention_partial(
+            metric, q, k, v, res_eq, res_ek, res_em, x.shape[-2],
+            sigma=sigma, gamma=gamma,
+            dropout_rate=att_rate, dropout_rng=r_res)
+        ctx, _ = S2.merge_attention_partials([band, res])
+        ctx = self._merge_heads(ctx)
+        ctx = M.linear(p["o"], ctx)
+        if not deterministic and rng is not None:
+            ctx = M.dropout(ctx, self.dropout, deterministic=False,
+                            rng=rng)
+        out = ctx + identity
+        if self.use_layer_norm:
+            out = M.layer_norm(p["ln2"], out)
+        return jnp.where(node_mask[:, None], out, identity)
+
     # -- forward (ring / edge-partitioned backend) -----------------------
     def apply_ring(
         self,

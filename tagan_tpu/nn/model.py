@@ -135,11 +135,20 @@ class TAGAN:
     def init(self, key: jax.Array) -> M.Params:
         c = self.config
         ks = M.split_keys(key, ["node_emb", "edge_emb", "layers", "prop",
-                                "tattn", "head"])
+                                "tattn", "head", "npool"])
         p: M.Params = {
             "node_embedding": M.init_linear(ks["node_emb"],
                                             c.node_feature_dim, c.hidden_dim),
         }
+        if c.node_pooling == "attention":
+            # learned node->graph attention pooling (Linear-tanh-
+            # Linear(1) scorer, the node-axis analog of the head's
+            # temporal pooling, classification.py:795-801)
+            k1, k2 = jax.random.split(ks["npool"])
+            p["node_pool"] = {
+                "w1": M.init_linear(k1, c.hidden_dim, c.hidden_dim),
+                "w2": M.init_linear(k2, c.hidden_dim, 1),
+            }
         if c.edge_feature_dim > 0:
             p["edge_embedding"] = M.init_linear(
                 ks["edge_emb"], c.edge_feature_dim, c.hidden_dim)
@@ -172,6 +181,8 @@ class TAGAN:
         use_flash = (c.spatial_backend == "flash" and not return_weights)
         use_csr = (c.spatial_backend == "csr" and not return_weights)
         use_ring = (c.spatial_backend == "ring" and not return_weights)
+        use_hybrid = (c.spatial_backend == "hybrid"
+                      and not return_weights)
         first_weights = None
 
         if use_ring:
@@ -179,6 +190,11 @@ class TAGAN:
                 p, seq, x, want_edge_bias,
                 deterministic=deterministic, rng=rng,
                 return_weights=return_weights)
+
+        if use_hybrid:
+            return self._encode_spatial_hybrid(
+                p, seq, x, want_edge_bias,
+                deterministic=deterministic, rng=rng)
 
         edge_feats = None
         if want_edge_bias and not (use_csr or use_flash):
@@ -378,6 +394,73 @@ class TAGAN:
                 else:
                     x = x + skip
         return (x, first_weights) if return_weights else x
+
+    def _encode_spatial_hybrid(
+        self, p: M.Params, seq: SnapshotSequence, x: jax.Array,
+        want_edge_bias: bool, *, deterministic: bool,
+        rng: Optional[jax.Array],
+    ):
+        """spatial_backend="hybrid": band edges through the flash kernel
+        with COMPACT occupied-block masks (HBM scales with occupied
+        blocks, not N² — the >HBM-graph path, SURVEY §2.9) + residual
+        long-range edges through the O(E) csr partial, merged exactly
+        via logsumexps (nn.geometric.apply_hybrid). Needs sequences
+        built with `SnapshotSequence.with_hybrid_plan()` (ideally after
+        `build_sequence(reorder="rcm")` so the band holds most
+        edges)."""
+        c = self.config
+        if seq.hyb_mask_blocks is None:
+            raise ValueError(
+                "spatial_backend='hybrid' requires sequences built "
+                "with SnapshotSequence.with_hybrid_plan()")
+        if want_edge_bias:
+            raise NotImplementedError(
+                "edge-feature bias is not implemented on the hybrid "
+                "backend; use spatial_backend='flash' or 'csr'")
+        ga = self.graph_attention
+        BM = seq.hyb_mask_blocks.shape[2]
+        n_i = seq.hyb_plan[1].shape[1]
+        n_j = seq.hyb_plan_t[1].shape[1]
+        BN = (n_i * BM) // n_j
+        train = (not deterministic and rng is not None
+                 and c.dropout > 0.0)
+        if train:
+            rng, r = jax.random.split(rng)
+            step_rngs = jax.random.split(r, x.shape[0])
+        else:
+            step_rngs = None
+
+        def one_step(args):
+            if step_rngs is None:
+                (xt, mb, jl, jc, js, il, ic, isl, req, rek, rem,
+                 nm) = args
+                rt = None
+            else:
+                (xt, mb, jl, jc, js, il, ic, isl, req, rek, rem, nm,
+                 rt) = args
+            sk = xt
+            for i in range(c.num_layers):
+                lp = p["geometric_layers"][f"layer_{i}"]
+                ri = None if rt is None else jax.random.fold_in(rt, i)
+                xt = ga.inner.apply_hybrid(
+                    lp["attn"], xt, mb, (jl, jc, js), (il, ic, isl),
+                    req, rek, rem, nm, deterministic=ri is None,
+                    rng=ri, block_m=BM, block_n=BN,
+                    bf16=c.bf16_matmul)
+                if i == 0:
+                    if c.use_layer_norm:
+                        xt = xt + M.layer_norm(p["skip_layer_norm"], sk)
+                    else:
+                        xt = xt + sk
+            return xt
+
+        if c.remat:
+            one_step = jax.checkpoint(one_step)
+        args = (x, seq.hyb_mask_blocks, *seq.hyb_plan, *seq.hyb_plan_t,
+                *seq.hyb_res, seq.node_mask)
+        if step_rngs is not None:
+            args = args + (step_rngs,)
+        return jax.lax.map(one_step, args)
 
     def _encode_spatial_ring(
         self, p: M.Params, seq: SnapshotSequence, x: jax.Array,
@@ -591,9 +674,29 @@ class TAGAN:
             graph_feats = jnp.mean(scrambled, axis=1)  # [T, hidden]
         else:
             back = jnp.swapaxes(nt, 0, 1)              # [T, N, hidden]
-            m = seq.node_mask[..., None].astype(back.dtype)
-            denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
-            graph_feats = jnp.sum(back * m, axis=1) / denom
+            nmask = seq.node_mask                      # [T, N]
+            if c.node_pooling == "max":
+                # masked max keeps needle signals a mean over ~1K nodes
+                # would dilute away (TGN state-change task)
+                neg = jnp.asarray(-1e30, back.dtype)
+                mx = jnp.max(jnp.where(nmask[..., None], back, neg),
+                             axis=1)
+                graph_feats = jnp.where(
+                    jnp.any(nmask, axis=1)[:, None], mx, 0.0)
+            elif c.node_pooling == "attention":
+                # learned attention over nodes: score = w2(tanh(w1 h)),
+                # masked softmax per timestep
+                np_ = p["node_pool"]
+                sc = M.linear(np_["w2"],
+                              jnp.tanh(M.linear(np_["w1"], back)))[..., 0]
+                sc = jnp.where(nmask, sc, -1e30)       # [T, N]
+                w = jax.nn.softmax(sc, axis=1)
+                w = jnp.where(nmask, w, 0.0)
+                graph_feats = jnp.einsum("tn,tnh->th", w, back)
+            else:
+                m = nmask[..., None].astype(back.dtype)
+                denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+                graph_feats = jnp.sum(back * m, axis=1) / denom
 
         graph_feats = graph_feats[None]                # [1, T, hidden]
         time_mask = None if executed else seq.time_mask[None]

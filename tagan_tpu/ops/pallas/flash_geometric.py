@@ -77,6 +77,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+
+def _pcall(kernel, **kw):
+    """pallas_call that auto-interprets on the CPU backend (like
+    ring_flash): CPU has no Mosaic lowering, so plain CPU users (and
+    the multichip dryrun) get the interpreter instead of a hard error.
+    Respects an interpret= already bound by tests' monkeypatched
+    partial."""
+    fn = pl.pallas_call
+    if (jax.default_backend() == "cpu"
+            and "interpret" not in getattr(fn, "keywords", {})):
+        kw["interpret"] = True
+    return fn(kernel, **kw)
+
 MXU_METRICS = ("scaled_dot_product", "dot_product", "squared_euclidean",
                "euclidean", "gaussian_kernel", "rbf_kernel",
                "cosine_similarity", "cosine_distance")
@@ -237,16 +250,23 @@ def _mask_bits(mask_val: jax.Array, packed: bool) -> jax.Array:
     return (rep >> bit) & 1
 
 
-def _flash_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
-                  q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
-                  acc_ref, m_ref, l_ref, *, metric: str, n_j: int,
+def _flash_kernel(jlist_ref, jcount_ref, *rest, metric: str, n_j: int,
                   true_d: int, bf16: bool, dropout_rate: float,
-                  block_m: int, block_n: int, packed: bool = False):
+                  block_m: int, block_n: int, packed: bool = False,
+                  compact: bool = False):
     """Block-sparse flash body. The grid's j axis walks a *compacted*
     list of occupied key blocks (scalar-prefetched `jlist` drives the
     k/v/mask index maps, so empty blocks cost neither DMA nor compute;
     trailing repeats of the last occupied index are deduplicated by the
-    pipeline and skipped via `jcount`)."""
+    pipeline and skipped via `jcount`). With ``compact`` the mask input
+    is the [n_slots, BM, mw] occupied-block store (an extra `jslot`
+    prefetch drives its index map) instead of a dense [Np, Np] mask."""
+    if compact:
+        (jslot_ref, scale_ref, seed_ref, q_ref, k_ref, v_ref, mask_ref,
+         o_ref, lse_ref, acc_ref, m_ref, l_ref) = rest
+    else:
+        (scale_ref, seed_ref, q_ref, k_ref, v_ref, mask_ref,
+         o_ref, lse_ref, acc_ref, m_ref, l_ref) = rest
     j = pl.program_id(2)
     i = pl.program_id(1)
     h = pl.program_id(0)
@@ -262,7 +282,8 @@ def _flash_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
         q = q_ref[0]          # [BM, D]
         k = k_ref[0]          # [BN, D]
         v = v_ref[0]          # [BN, D]
-        mask = _mask_bits(mask_ref[:], packed)   # [BM, BN]
+        mask = _mask_bits(mask_ref[0] if compact else mask_ref[:],
+                          packed)               # [BM, BN]
 
         s = _block_scores(metric, q, k, scale_ref[h], true_d, bf16)
         s = jnp.where(mask != 0, s, NEG_INF)
@@ -369,6 +390,42 @@ def make_block_plans_from_mask(mask: jax.Array, block_m: int = 512,
     return _plan_from_occ(occ), _plan_from_occ(occ.T)
 
 
+def _edge_block_ids(edge_src, edge_dst, edge_mask, node_mask, n,
+                    block_m, block_n, n_j, self_loops):
+    """Block-pair segment id per edge (+ optional self loops), with the
+    validity weight. Returns (ids i32[E'], w f32[E'])."""
+    ids = (edge_src // block_m) * n_j + (edge_dst // block_n)
+    w = edge_mask.astype(jnp.float32)
+    if self_loops:
+        d = jnp.arange(n)
+        dm = jnp.ones((n,), jnp.float32) if node_mask is None \
+            else node_mask.astype(jnp.float32)
+        ids = jnp.concatenate([ids, (d // block_m) * n_j + (d // block_n)])
+        w = jnp.concatenate([w, dm])
+    return ids, w
+
+
+def _occ_from_edges(edge_src, edge_dst, edge_mask, node_mask, n,
+                    block_m, block_n, Np, self_loops=True):
+    """Occupancy bool[n_i, n_j] straight from the edge list in O(E)."""
+    n_i, n_j = Np // block_m, Np // block_n
+    nseg = n_i * n_j
+    ids, w = _edge_block_ids(edge_src, edge_dst, edge_mask, node_mask, n,
+                             block_m, block_n, n_j, self_loops)
+    if ids.shape[0] * nseg <= 64_000_000:
+        # one-hot matmul instead of segment_sum: XLA lowers segment_sum
+        # to a serialized scatter-add (~20 ns/update on TPU — ~1.4 ms at
+        # 160K edges) while the MXU chews the same reduction in ~no time.
+        # Exact: products are 0/1 (exact in bf16), accumulation is fp32,
+        # and integer counts up to 2^24 are exact — occupancy only needs
+        # count > 0.
+        oh = jax.nn.one_hot(ids, nseg, dtype=jnp.float32)
+        contrib = (w[None, :] @ oh)[0]
+        return contrib.reshape(n_i, n_j) > 0.5
+    contrib = jax.ops.segment_sum(w, ids, num_segments=nseg)
+    return contrib.reshape(n_i, n_j) > 0.0
+
+
 @functools.partial(jax.jit, static_argnames=("n", "block_m", "block_n",
                                              "n_pad", "self_loops"))
 def make_block_plans_from_edges(
@@ -385,30 +442,94 @@ def make_block_plans_from_edges(
     when the mask is the densified edge list (+ self loops on live
     nodes, graph_attention.py:102)."""
     Np = n_pad or _round_up(n, max(block_m, block_n))
-    n_i, n_j = Np // block_m, Np // block_n
-    nseg = n_i * n_j
-    ids = (edge_src // block_m) * n_j + (edge_dst // block_n)
-    w = edge_mask.astype(jnp.float32)
-    if self_loops:
-        d = jnp.arange(n)
-        dm = jnp.ones((n,), jnp.float32) if node_mask is None \
-            else node_mask.astype(jnp.float32)
-        ids = jnp.concatenate([ids, (d // block_m) * n_j + (d // block_n)])
-        w = jnp.concatenate([w, dm])
-    if ids.shape[0] * nseg <= 64_000_000:
-        # one-hot matmul instead of segment_sum: XLA lowers segment_sum
-        # to a serialized scatter-add (~20 ns/update on TPU — ~1.4 ms at
-        # 160K edges) while the MXU chews the same reduction in ~no time.
-        # Exact: products are 0/1 (exact in bf16), accumulation is fp32,
-        # and integer counts up to 2^24 are exact — occupancy only needs
-        # count > 0.
-        oh = jax.nn.one_hot(ids, nseg, dtype=jnp.float32)
-        contrib = (w[None, :] @ oh)[0]
-        occ = contrib.reshape(n_i, n_j) > 0.5
-    else:
-        contrib = jax.ops.segment_sum(w, ids, num_segments=nseg)
-        occ = contrib.reshape(n_i, n_j) > 0.0
+    occ = _occ_from_edges(edge_src, edge_dst, edge_mask, node_mask, n,
+                          block_m, block_n, Np, self_loops)
     return _plan_from_occ(occ), _plan_from_occ(occ.T)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "block_m", "block_n", "max_slots", "n_pad", "self_loops",
+    "max_blocks_per_row", "max_blocks_per_col", "pack"))
+def make_compact_structure_from_edges(
+    edge_src: jax.Array, edge_dst: jax.Array, edge_mask: jax.Array,
+    node_mask: Optional[jax.Array], n: int, block_m: int, block_n: int,
+    max_slots: int, n_pad: Optional[int] = None, self_loops: bool = True,
+    max_blocks_per_row: Optional[int] = None,
+    max_blocks_per_col: Optional[int] = None, pack: bool = False,
+):
+    """Compact mask-block structure: instead of a dense [N, N] mask in
+    HBM (17 GB at 131K nodes), store ONLY the occupied [BM, BN] blocks —
+    mask HBM scales with the occupied-block count (O(E) for banded
+    graphs), not N². Returns
+
+        (mask_blocks, cplan, cplan_t)
+
+    mask_blocks  i8[max_slots, BM, BN]   (or [.., BM, BN//8] when
+                                          ``pack`` — requires
+                                          block_n % 1024 == 0)
+    cplan        (jlist, jcount, jslot)  forward/dq walk + slot per step
+    cplan_t      (ilist, icount, islot)  dk/dv walk + slot per step
+
+    Slots are assigned in row-major occupied-block order. ``max_slots``
+    must upper-bound the true occupied count (host-side:
+    `occupied_blocks_total`); blocks past the bound would be silently
+    dropped by the scatter. ``max_blocks_per_row``/``col`` statically
+    shrink the walk widths like the dense-plan path. Self loops for live
+    nodes are folded in like the dense mask build
+    (graph_attention.py:102)."""
+    if pack and block_n % 1024 != 0:
+        raise ValueError("pack=True needs block_n % 1024 == 0 (the "
+                         "packed lane dim BN/8 must be 128-divisible)")
+    Np = n_pad or _round_up(n, max(block_m, block_n))
+    n_i, n_j = Np // block_m, Np // block_n
+    occ = _occ_from_edges(edge_src, edge_dst, edge_mask, node_mask, n,
+                          block_m, block_n, Np, self_loops)
+    flat = occ.reshape(-1)
+    slot_mat = jnp.cumsum(flat.astype(jnp.int32)) - 1      # [n_i * n_j]
+
+    jlist, jcount = _shrink_plan(_plan_from_occ(occ), max_blocks_per_row)
+    ilist, icount = _shrink_plan(_plan_from_occ(occ.T),
+                                 max_blocks_per_col)
+    i_of = jnp.arange(n_i)[:, None]
+    j_of = jnp.arange(n_j)[:, None]
+    # clamp: empty walk rows carry jlist 0 whose block may be
+    # unoccupied (slot -1) — the pipeline still DMAs the block, so it
+    # must stay in bounds (its content is never read: count == 0)
+    jslot = jnp.clip(slot_mat[i_of * n_j + jlist], 0,
+                     max_slots - 1).astype(jnp.int32)
+    islot = jnp.clip(slot_mat[ilist * n_j + j_of], 0,
+                     max_slots - 1).astype(jnp.int32)
+
+    # scatter the edge bits into their block slots (out-of-bounds slots
+    # from invalid edges are dropped by the scatter's default mode)
+    ids, w = _edge_block_ids(edge_src, edge_dst, edge_mask, node_mask, n,
+                             block_m, block_n, n_j, self_loops)
+    diag = jnp.arange(n, dtype=edge_src.dtype)
+    rows = jnp.concatenate([edge_src, diag]) if self_loops else edge_src
+    cols = jnp.concatenate([edge_dst, diag]) if self_loops else edge_dst
+    slot_e = jnp.where(w > 0, slot_mat[ids], max_slots)    # drop invalid
+    mask_blocks = jnp.zeros((max_slots, block_m, block_n), jnp.int8)
+    mask_blocks = mask_blocks.at[
+        slot_e, rows % block_m, cols % block_n].max(jnp.int8(1))
+    if pack:
+        mask_blocks = _pack_mask(mask_blocks, block_n)
+    return (mask_blocks, (jlist, jcount, jslot),
+            (ilist, icount.astype(jnp.int32), islot))
+
+
+def occupied_blocks_total(mask, block_m: int = 512,
+                          block_n: int = 1024) -> int:
+    """Host-side: total occupied [BM, BN] blocks — the static
+    ``max_slots`` for `make_compact_structure_from_edges`."""
+    import numpy as np
+    m = np.asarray(mask)
+    N = m.shape[0]
+    Np = _round_up(N, max(block_m, block_n))
+    if Np != N:
+        m = np.pad(m, ((0, Np - N), (0, Np - N)))
+    n_i, n_j = Np // block_m, Np // block_n
+    occ = m.reshape(n_i, block_m, n_j, block_n).sum(axis=(1, 3)) > 0
+    return max(int(occ.sum()), 1)
 
 
 def occupied_blocks_bound(mask, block_m: int = 512,
@@ -615,6 +736,128 @@ def flash_geometric_attention(
                                   block_m, block_n, bf16, dropout_rate)
     return _flash_diff(q, k, v, mask, jlist, jcount, ilist, icount, seed,
                        metric, block_m, block_n, bf16, dropout_rate)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable (out, lse) entry point — dense or compact masks.
+# lse as a first-class differentiable output is what lets partial
+# attentions over disjoint edge sets merge exactly (the hybrid
+# band + residual backend): the lse cotangent folds into the softmax
+# vjp as delta' = delta - g_lse (see flash_geometric_attention_bwd).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16,
+                                                    17))
+def _flash_diff_lse(q, k, v, scale, mask, jlist, jcount, jslot, ilist,
+                    icount, islot, seed, metric, block_m, block_n, bf16,
+                    dropout_rate, compact):
+    plan = (jlist, jcount, jslot) if compact else (jlist, jcount)
+    return _flash_forward(q, k, v, mask, metric=metric, scale_param=scale,
+                          block_m=block_m, block_n=block_n, bf16=bf16,
+                          plan=plan, seed=seed, dropout_rate=dropout_rate,
+                          return_lse=True)
+
+
+def _flash_diff_lse_fwd(q, k, v, scale, mask, jlist, jcount, jslot, ilist,
+                        icount, islot, seed, metric, block_m, block_n,
+                        bf16, dropout_rate, compact):
+    plan = (jlist, jcount, jslot) if compact else (jlist, jcount)
+    out, lse = _flash_forward(q, k, v, mask, metric=metric,
+                              scale_param=scale, block_m=block_m,
+                              block_n=block_n, bf16=bf16, plan=plan,
+                              seed=seed, dropout_rate=dropout_rate,
+                              return_lse=True)
+    return (out, lse), (q, k, v, scale, mask, out, lse, jlist, jcount,
+                        jslot, ilist, icount, islot, seed)
+
+
+def _flash_diff_lse_bwd(metric, block_m, block_n, bf16, dropout_rate,
+                        compact, res, ct):
+    (q, k, v, scale, mask, out, lse, jlist, jcount, jslot, ilist, icount,
+     islot, seed) = res
+    g, g_lse = ct
+    need_dscale = metric in SCALED_METRICS
+    plan = (jlist, jcount, jslot) if compact else (jlist, jcount)
+    plan_t = (ilist, icount, islot) if compact else (ilist, icount)
+    kw = dict(metric=metric, scale=scale, block_m=block_m,
+              block_n=block_n, bf16=bf16, plan=plan, plan_t=plan_t,
+              seed=seed, dropout_rate=dropout_rate,
+              need_dscale=need_dscale, dlse=g_lse)
+    if metric in _COSINE:
+        qn, vjp_q = jax.vjp(_l2_normalize, q)
+        kn, vjp_k = jax.vjp(_l2_normalize, k)
+        grads = flash_geometric_attention_bwd(qn, kn, v, mask, out, lse,
+                                              g, **kw)
+        dq, = vjp_q(grads[0])
+        dk, = vjp_k(grads[1])
+        grads = (dq, dk) + grads[2:]
+    else:
+        grads = flash_geometric_attention_bwd(q, k, v, mask, out, lse, g,
+                                              **kw)
+    if need_dscale:
+        dq, dk, dv, dscale = grads
+        dscale = dscale.astype(scale.dtype)
+    else:
+        dq, dk, dv = grads
+        dscale = jnp.zeros_like(scale)
+    return (dq, dk, dv, dscale, None, None, None, None, None, None,
+            None, None)
+
+
+_flash_diff_lse.defvjp(_flash_diff_lse_fwd, _flash_diff_lse_bwd)
+
+
+def flash_geometric_attention_lse(
+    q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
+    metric: str = "scaled_dot_product",
+    scale_param: Optional[jax.Array] = None,
+    block_m: int = 512, block_n: int = 1024, bf16: bool = False,
+    plan=None, plan_t=None,
+    dropout_rate: float = 0.0, dropout_seed: Optional[jax.Array] = None,
+):
+    """Like `flash_geometric_attention` but returns ``(out, lse)`` with
+    the per-row logsumexp as a first-class DIFFERENTIABLE output (rows
+    with no valid edges give out 0 / lse `LSE_DEAD`). This is the
+    primitive for exact partial-attention merging (hybrid
+    band + residual backend, `ops.sparse.merge_attention_partials`).
+
+    3-tuple ``plan``/``plan_t`` (with slot arrays from
+    `make_compact_structure_from_edges`) switch ``mask`` to the compact
+    occupied-block store — mask HBM scales with occupied blocks, not
+    N²; the backward then always takes the two-walk layout."""
+    H = q.shape[0]
+    N = q.shape[1]
+    Np = _round_up(N, max(block_m, block_n))
+    compact = plan is not None and len(plan) == 3
+    if compact:
+        if plan_t is None or len(plan_t) != 3:
+            raise ValueError("compact masks need plan AND plan_t from "
+                             "make_compact_structure_from_edges")
+        jlist, jcount, jslot = plan
+        ilist, icount, islot = plan_t
+    else:
+        if plan is None and plan_t is None:
+            occ = _occ_from_mask(mask, block_m, block_n, Np)
+            plan = _plan_from_occ(occ)
+            plan_t = _plan_from_occ(occ.T)
+        elif plan is None:
+            plan = make_block_plan.__wrapped__(mask, block_m, block_n,
+                                               n_pad=Np)
+        elif plan_t is None:
+            plan_t = make_block_plan.__wrapped__(mask.T, block_n,
+                                                 block_m, n_pad=Np)
+        jlist, jcount = plan
+        ilist, icount = plan_t
+        jslot = islot = jnp.zeros((1, 1), jnp.int32)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed = jnp.zeros((1,), jnp.int32) if dropout_seed is None \
+        else jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+    scale = scale_param if scale_param is not None \
+        else jnp.ones((H,), jnp.float32)
+    return _flash_diff_lse(q, k, v, scale, mask, jlist, jcount, jslot,
+                           ilist, icount, islot, seed, metric, block_m,
+                           block_n, bf16, dropout_rate, compact)
 
 
 # ---------------------------------------------------------------------------
@@ -955,7 +1198,13 @@ def _flash_forward(
     graphs pay only for occupied blocks (the caller computes it host-side
     from the graph structure, e.g. via `occupied_blocks_bound`). Must be
     >= the true maximum or edges are dropped (checked by
-    `occupied_blocks_bound`, not here — shapes must stay static)."""
+    `occupied_blocks_bound`, not here — shapes must stay static).
+
+    A 3-tuple ``plan`` (jlist, jcount, jslot) switches to the COMPACT
+    mask form: ``mask`` is then the [n_slots, BM, BN] (or packed
+    [n_slots, BM, BN//8]) occupied-block store from
+    `make_compact_structure_from_edges` — mask HBM scales with the
+    occupied blocks, not N² (the >HBM-graph path, SURVEY §2.9)."""
     if metric not in MXU_METRICS:
         raise NotImplementedError(
             f"metric {metric} is not MXU-expressible; use ops.sparse")
@@ -970,6 +1219,8 @@ def _flash_forward(
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
 
+    compact = plan is not None and len(plan) == 3
+
     # pad to block multiples; padded mask columns/rows are zero
     Np = _round_up(N, max(block_m, block_n))
     Dp = _round_up(max(D, Dv), 128)
@@ -977,8 +1228,9 @@ def _flash_forward(
         q = jnp.pad(q, ((0, 0), (0, Np - N), (0, Dp - D)))
         k = jnp.pad(k, ((0, 0), (0, Np - N), (0, Dp - D)))
         v = jnp.pad(v, ((0, 0), (0, Np - N), (0, Dp - Dv)))
-        mask = jnp.pad(mask.astype(jnp.int8),
-                       ((0, Np - N), (0, Np - N)))
+        if not compact:
+            mask = jnp.pad(mask.astype(jnp.int8),
+                           ((0, Np - N), (0, Np - N)))
     mask = mask.astype(jnp.int8)
 
     n_i = Np // block_m
@@ -987,7 +1239,10 @@ def _flash_forward(
     # compacted occupied-block lists: jlist[i] holds the occupied j
     # indices for query block i (padded by repeating the last entry, so
     # the pipeline's same-index dedup skips the DMA), jcount[i] how many.
-    if plan is not None:
+    jslot = None
+    if compact:
+        jlist, jcount, jslot = plan
+    elif plan is not None:
         jlist, jcount = plan
     else:
         jlist, jcount = make_block_plan.__wrapped__(
@@ -999,27 +1254,49 @@ def _flash_forward(
                  n_j if max_blocks_per_row is None else max_blocks_per_row)
     jlist = jlist[:, :n_walk]
     jcount = jnp.minimum(jcount, n_walk)
+    if jslot is not None:
+        jslot = jslot[:, :n_walk]
     grid = (H, n_i, n_walk)
     n_j = n_walk
 
-    packed = _mask_packable(Np, block_n)
-    mask_op = _pack_mask(mask, block_n) if packed else mask
-    mw = block_n // 8 if packed else block_n
+    if compact:
+        # the block store is pre-packed (or not) by its builder
+        packed = mask.shape[-1] * 8 == block_n
+        mask_op = mask
+        mw = mask.shape[-1]
+        mask_spec = pl.BlockSpec(
+            (1, block_m, mw),
+            lambda h, i, j, jl, jc, js, sc, sd: (js[i, j], 0, 0),
+            memory_space=pltpu.VMEM)
+
+        def _im_kv(h, i, j, jl, jc, js, sc, sd):
+            return (h, jl[i, j], 0)
+        prefetch = (jlist, jcount.astype(jnp.int32),
+                    jslot.astype(jnp.int32))
+    else:
+        packed = _mask_packable(Np, block_n)
+        mask_op = _pack_mask(mask, block_n) if packed else mask
+        mw = block_n // 8 if packed else block_n
+        mask_spec = pl.BlockSpec(
+            (block_m, mw),
+            lambda h, i, j, jl, jc, sc, sd: (i, jl[i, j]),
+            memory_space=pltpu.VMEM)
+
+        def _im_kv(h, i, j, jl, jc, sc, sd):
+            return (h, jl[i, j], 0)
+        prefetch = (jlist, jcount.astype(jnp.int32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=len(prefetch) + 2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n, Dp),
-                         lambda h, i, j, jl, jc, sc, sd: (h, jl[i, j], 0),
+            pl.BlockSpec((1, block_n, Dp), _im_kv,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n, Dp),
-                         lambda h, i, j, jl, jc, sc, sd: (h, jl[i, j], 0),
+            pl.BlockSpec((1, block_n, Dp), _im_kv,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, mw),
-                         lambda h, i, j, jl, jc, sc, sd: (i, jl[i, j]),
-                         memory_space=pltpu.VMEM),
+            mask_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, block_m, Dp),
@@ -1036,11 +1313,11 @@ def _flash_forward(
         ],
     )
 
-    out, lse = pl.pallas_call(
+    out, lse = _pcall(
         functools.partial(_flash_kernel, metric=metric, n_j=n_j,
                           true_d=D, bf16=bf16, dropout_rate=dropout_rate,
                           block_m=block_m, block_n=block_n,
-                          packed=packed),
+                          packed=packed, compact=compact),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), q.dtype),
                    jax.ShapeDtypeStruct((H, Np, 1), jnp.float32)),
@@ -1049,7 +1326,7 @@ def _flash_forward(
             bytes_accessed=4 * H * Np * Dp * 4 + Np * Np,
             transcendentals=H * Np * Np,
         ),
-    )(jlist, jcount.astype(jnp.int32), scale_param.astype(jnp.float32),
+    )(*prefetch, scale_param.astype(jnp.float32),
       jnp.asarray(seed, jnp.int32).reshape((1,)), q, k, v, mask_op)
     if return_lse:
         return out[:, :N, :Dv], lse[:, :N, 0]
@@ -1122,18 +1399,23 @@ def _chain_dk(metric, ds, s, sq, qk, q, k, scale, true_d, bf16):
     return 2.0 * (col * k - _dot(dsq.T, q, bf16))
 
 
-def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
-                         q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
-                         delta_ref, *rest, metric, n_j, true_d, bf16,
-                         dropout_rate, block_m, block_n, need_dscale,
-                         packed=False):
+def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, *rest, metric, n_j,
+                         true_d, bf16, dropout_rate, block_m, block_n,
+                         need_dscale, packed=False, compact=False):
     """dq accumulation over a compacted walk of occupied key blocks
     (same block-sparsity plan as the forward). With `need_dscale`, also
     reduces d(sigma)/d(gamma) per (head, query-block) into a second
     output (summed outside). That output's block is the FULL [H, n_i]
     array (constant index map, one-hot accumulate): a (1, 1) block
     fails the TPU lowering's 8x128 divisibility rule — caught on
-    hardware, invisible in interpret mode."""
+    hardware, invisible in interpret mode. ``compact`` switches the
+    mask input to the occupied-block store (jslot-prefetch-indexed)."""
+    if compact:
+        (jslot_ref, scale_ref, seed_ref, q_ref, k_ref, v_ref, mask_ref,
+         do_ref, lse_ref, delta_ref, *rest) = rest
+    else:
+        (scale_ref, seed_ref, q_ref, k_ref, v_ref, mask_ref,
+         do_ref, lse_ref, delta_ref, *rest) = rest
     if need_dscale:
         dq_ref, dsc_ref, acc_ref, dsc_acc = rest
     else:
@@ -1171,8 +1453,8 @@ def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
                               _keep_thresh(dropout_rate))
         p, ds, s, sq, qk = _bwd_block(
             metric, q, k, v, do, lse_row, delta_row,
-            _mask_bits(mask_ref[:], packed), true_d,
-            scale, bf16, keep, 1.0 / (1.0 - dropout_rate))
+            _mask_bits(mask_ref[0] if compact else mask_ref[:], packed),
+            true_d, scale, bf16, keep, 1.0 / (1.0 - dropout_rate))
         acc_ref[:] = acc_ref[:] + _chain_dq(metric, ds, s, sq, qk, q, k,
                                             scale, true_d, bf16)
         if need_dscale:
@@ -1196,13 +1478,20 @@ def _flash_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seed_ref,
             dsc_ref[:] = dsc_ref[:] + jnp.where(hot, dsc_acc[0, 0], 0.0)
 
 
-def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seed_ref,
-                          q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
-                          delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
-                          metric, n_i, true_d, bf16, dropout_rate,
-                          block_m, block_n, packed=False):
+def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, *rest, metric, n_i,
+                          true_d, bf16, dropout_rate, block_m, block_n,
+                          packed=False, compact=False):
     """dk/dv accumulation over a compacted walk of occupied *query*
-    blocks (the transposed plan)."""
+    blocks (the transposed plan). ``compact`` switches the mask input
+    to the occupied-block store (islot-prefetch-indexed)."""
+    if compact:
+        (islot_ref, scale_ref, seed_ref, q_ref, k_ref, v_ref, mask_ref,
+         do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc,
+         dv_acc) = rest
+    else:
+        (scale_ref, seed_ref, q_ref, k_ref, v_ref, mask_ref,
+         do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc,
+         dv_acc) = rest
     i = pl.program_id(2)
     j = pl.program_id(1)
     h = pl.program_id(0)
@@ -1229,8 +1518,8 @@ def _flash_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seed_ref,
                               _keep_thresh(dropout_rate))
         p, ds, s, sq, qk = _bwd_block(
             metric, q, k, v, do, lse_row, delta_row,
-            _mask_bits(mask_ref[:], packed), true_d,
-            scale, bf16, keep, keep_inv)
+            _mask_bits(mask_ref[0] if compact else mask_ref[:], packed),
+            true_d, scale, bf16, keep, keep_inv)
         if keep is not None:
             p_v = jnp.where(keep, p * keep_inv, 0.0)
         else:
@@ -1446,7 +1735,7 @@ def _bwd_fused_call(q, k, v, do, mask_op, lse_i, delta_i, scale, seed,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
     )
-    res = pl.pallas_call(
+    res = _pcall(
         functools.partial(_flash_bwd_fused_kernel, metric=metric,
                           n_i=n_walk_i, true_d=D, bf16=bf16,
                           dropout_rate=dropout_rate, block_m=block_m,
@@ -1490,6 +1779,7 @@ def flash_geometric_attention_bwd(
     seed: Optional[jax.Array] = None, dropout_rate: float = 0.0,
     need_dscale: bool = False,
     fused: Optional[bool] = None,
+    dlse: Optional[jax.Array] = None,
 ):
     """Pallas flash backward: (dq, dk, dv[, dscale]) without
     materializing [N, N] scores in HBM — every MXU metric. For the
@@ -1508,13 +1798,22 @@ def flash_geometric_attention_bwd(
     (`_fused_bwd_vmem_bytes`) fits `FUSED_VMEM_BUDGET` — at the 10K
     headline geometry (block 512x1024) the fused layout exceeds the
     16 MB scoped-VMEM chip limit (17.77 MB measured on v5e), so auto
-    picks two-walk there."""
+    picks two-walk there.
+
+    3-tuple plans (jlist, jcount, jslot) switch to the COMPACT mask
+    form (``mask`` = [n_slots, BM, mw] occupied-block store, see
+    `make_compact_structure_from_edges`); compact always takes the
+    two-walk layout. ``dlse`` is the optional cotangent of the
+    forward's logsumexp output (used by the hybrid band+residual merge,
+    `flash_geometric_attention_lse`): it folds into the softmax vjp as
+    ds = p * (dp - (delta - dlse))."""
     if metric not in BWD_METRICS:
         raise NotImplementedError(metric)
     H, N, D = q.shape
     Dv = v.shape[-1]
     Np = _round_up(N, max(block_m, block_n))
     Dp = _round_up(max(D, Dv), 128)
+    compact = plan is not None and len(plan) == 3
     if scale is None:
         scale = jnp.ones((H,), jnp.float32)
     if seed is None:
@@ -1528,11 +1827,19 @@ def flash_geometric_attention_bwd(
         v = jnp.pad(v, padv)
         do = jnp.pad(do, padv)
         out = jnp.pad(out, padv)
-        mask = jnp.pad(mask.astype(jnp.int8), ((0, Np - N), (0, Np - N)))
+        if not compact:
+            mask = jnp.pad(mask.astype(jnp.int8),
+                           ((0, Np - N), (0, Np - N)))
         lse = jnp.pad(lse, ((0, 0), (0, Np - N)),
                       constant_values=LSE_DEAD)
+        if dlse is not None:
+            dlse = jnp.pad(dlse, ((0, 0), (0, Np - N)))
     mask = mask.astype(jnp.int8)
     delta = jnp.sum(do * out, axis=-1)                 # [H, Np]
+    if dlse is not None:
+        # logsumexp cotangent: dlse/ds_ij = p_ij, so it rides the
+        # existing softmax vjp via delta' = delta - dlse
+        delta = delta - dlse.astype(delta.dtype)
 
     n_i = Np // block_m
     n_j = Np // block_n
@@ -1548,19 +1855,33 @@ def flash_geometric_attention_bwd(
     if plan_t is None:
         plan_t = make_block_plan.__wrapped__(mask.T, block_n, block_m,
                                              n_pad=Np)
-    jlist, jcount = plan
-    ilist, icount = plan_t
+    jslot = islot = None
+    if compact:
+        if len(plan_t) != 3:
+            raise ValueError("compact plans need plan_t with islot too")
+        jlist, jcount, jslot = plan
+        ilist, icount, islot = plan_t
+    else:
+        jlist, jcount = plan
+        ilist, icount = plan_t
     n_walk_j = min(jlist.shape[1], n_j)
     n_walk_i = min(ilist.shape[1], n_i)
     jcount = jnp.minimum(jcount, n_walk_j)
     icount = jnp.minimum(icount, n_walk_i)
 
-    packed = _mask_packable(Np, block_n)
-    mask_op = _pack_mask(mask, block_n) if packed else mask
-    mw = block_n // 8 if packed else block_n
+    if compact:
+        packed = mask.shape[-1] * 8 == block_n
+        mask_op = mask
+        mw = mask.shape[-1]
+    else:
+        packed = _mask_packable(Np, block_n)
+        mask_op = _pack_mask(mask, block_n) if packed else mask
+        mw = block_n // 8 if packed else block_n
 
     if fused is None:
         fused = FUSED_BWD
+    if compact:
+        fused = False        # fused layout has no compact mask plumbing
     if fused is None:
         fused = (n_j * H * Np * Dp * 4 <= FUSED_DQ_BUDGET
                  and _fused_bwd_vmem_bytes(block_m, block_n, Dp, packed,
@@ -1591,21 +1912,37 @@ def flash_geometric_attention_bwd(
                         jax.ShapeDtypeStruct((H, n_i), jnp.float32))
         dq_scratch.append(pltpu.VMEM((1, 1), jnp.float32))
 
+    if compact:
+        dq_mask_spec = pl.BlockSpec(
+            (1, block_m, mw),
+            lambda h, i, j, jl, jc, js, sc, sd: (js[i, j], 0, 0),
+            memory_space=pltpu.VMEM)
+
+        def _dq_kv(h, i, j, jl, jc, js, sc, sd):
+            return (h, jl[i, j], 0)
+        dq_prefetch = (jlist, jcount.astype(jnp.int32),
+                       jslot.astype(jnp.int32))
+    else:
+        dq_mask_spec = pl.BlockSpec(
+            (block_m, mw),
+            lambda h, i, j, jl, jc, sc, sd: (i, jl[i, j]),
+            memory_space=pltpu.VMEM)
+
+        def _dq_kv(h, i, j, jl, jc, sc, sd):
+            return (h, jl[i, j], 0)
+        dq_prefetch = (jlist, jcount)
+
     dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=len(dq_prefetch) + 2,
         grid=(H, n_i, n_walk_j),
         in_specs=[
             pl.BlockSpec((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n, Dp),
-                         lambda h, i, j, jl, jc, sc, sd: (h, jl[i, j], 0),
+            pl.BlockSpec((1, block_n, Dp), _dq_kv,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n, Dp),
-                         lambda h, i, j, jl, jc, sc, sd: (h, jl[i, j], 0),
+            pl.BlockSpec((1, block_n, Dp), _dq_kv,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, mw),
-                         lambda h, i, j, jl, jc, sc, sd: (i, jl[i, j]),
-                         memory_space=pltpu.VMEM),
+            dq_mask_spec,
             pl.BlockSpec((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_m, 1), lambda h, i, j, *_: (h, i, 0),
@@ -1616,15 +1953,15 @@ def flash_geometric_attention_bwd(
         out_specs=dq_out_specs,
         scratch_shapes=dq_scratch,
     )
-    dq_res = pl.pallas_call(
+    dq_res = _pcall(
         functools.partial(_flash_bwd_dq_kernel, metric=metric,
                           n_j=n_walk_j, true_d=D, bf16=bf16,
                           dropout_rate=dropout_rate, block_m=block_m,
                           block_n=block_n, need_dscale=need_dscale,
-                          packed=packed),
+                          packed=packed, compact=compact),
         grid_spec=dq_spec,
         out_shape=dq_out_shape,
-    )(jlist, jcount, scale, seed, q, k, v, mask_op, do, lse_i, delta_i)
+    )(*dq_prefetch, scale, seed, q, k, v, mask_op, do, lse_i, delta_i)
     if need_dscale:
         dq, dsc = dq_res
         dscale = jnp.sum(dsc, axis=1)          # [H]
@@ -1632,28 +1969,44 @@ def flash_geometric_attention_bwd(
         dq = dq_res
         dscale = None
 
+    if compact:
+        dkv_mask_spec = pl.BlockSpec(
+            (1, block_m, mw),
+            lambda h, j, i, il, ic, isl, sc, sd: (isl[j, i], 0, 0),
+            memory_space=pltpu.VMEM)
+
+        def _dkv_q(h, j, i, il, ic, isl, sc, sd):
+            return (h, il[j, i], 0)
+        dkv_prefetch = (ilist, icount.astype(jnp.int32),
+                        islot.astype(jnp.int32))
+    else:
+        dkv_mask_spec = pl.BlockSpec(
+            (block_m, mw),
+            lambda h, j, i, il, ic, sc, sd: (il[j, i], j),
+            memory_space=pltpu.VMEM)
+
+        def _dkv_q(h, j, i, il, ic, sc, sd):
+            return (h, il[j, i], 0)
+        dkv_prefetch = (ilist, icount)
+
     dkv_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=len(dkv_prefetch) + 2,
         grid=(H, n_j, n_walk_i),
         in_specs=[
-            pl.BlockSpec((1, block_m, Dp),
-                         lambda h, j, i, il, ic, sc, sd: (h, il[j, i], 0),
+            pl.BlockSpec((1, block_m, Dp), _dkv_q,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, mw),
-                         lambda h, j, i, il, ic, sc, sd: (il[j, i], j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_m, Dp),
-                         lambda h, j, i, il, ic, sc, sd: (h, il[j, i], 0),
+            dkv_mask_spec,
+            pl.BlockSpec((1, block_m, Dp), _dkv_q,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_m, 1),
-                         lambda h, j, i, il, ic, sc, sd: (h, il[j, i], 0),
+                         lambda h, j, i, *pf: (h, pf[0][j, i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_m, 1),
-                         lambda h, j, i, il, ic, sc, sd: (h, il[j, i], 0),
+                         lambda h, j, i, *pf: (h, pf[0][j, i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -1665,15 +2018,16 @@ def flash_geometric_attention_bwd(
         scratch_shapes=[pltpu.VMEM((block_n, Dp), jnp.float32),
                         pltpu.VMEM((block_n, Dp), jnp.float32)],
     )
-    dk, dv = pl.pallas_call(
+    dk, dv = _pcall(
         functools.partial(_flash_bwd_dkv_kernel, metric=metric,
                           n_i=n_walk_i, true_d=D, bf16=bf16,
                           dropout_rate=dropout_rate, block_m=block_m,
-                          block_n=block_n, packed=packed),
+                          block_n=block_n, packed=packed,
+                          compact=compact),
         grid_spec=dkv_spec,
         out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), k.dtype),
                    jax.ShapeDtypeStruct((H, Np, Dp), v.dtype)),
-    )(ilist, icount, scale, seed, q, k, v, mask_op, do, lse_i, delta_i)
+    )(*dkv_prefetch, scale, seed, q, k, v, mask_op, do, lse_i, delta_i)
 
     if need_dscale:
         return dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv], dscale
@@ -1753,7 +2107,7 @@ def _flash_biased_forward(
     bspec = _b((block_m, block_n), lambda h, i, j, jl, *_: (i, jl[i, j]))
     rowspec = _b((1, block_m, 1), lambda h, i, j, *_: (h, i, 0))
 
-    lse1 = pl.pallas_call(
+    lse1 = _pcall(
         functools.partial(_lse1_kernel, metric=metric, n_j=n_walk,
                           true_d=D, bf16=bf16, packed=packed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1765,7 +2119,7 @@ def _flash_biased_forward(
         out_shape=jax.ShapeDtypeStruct((H, Np, 1), jnp.float32),
     )(jlist, jcount, scale32, q, k, mask_op)
 
-    out, lse2 = pl.pallas_call(
+    out, lse2 = _pcall(
         functools.partial(_flash_biased_kernel, metric=metric, n_j=n_walk,
                           true_d=D, bf16=bf16, dropout_rate=dropout_rate,
                           block_m=block_m, block_n=block_n,
@@ -1854,7 +2208,7 @@ def flash_biased_attention_bwd(
     a_mask = _b((block_m, mw), lambda i, j, h, jl, *_: (i, jl[i, j]))
     a_m = _b((block_m, block_n), lambda i, j, h, jl, *_: (i, jl[i, j]))
     a_row = _b((1, block_m, 1), lambda i, j, h, jl, *_: (h, i, 0))
-    delta1, dbias = pl.pallas_call(
+    delta1, dbias = _pcall(
         functools.partial(_biased_bwd_pre_kernel, n_j=n_walk_j, n_h=H,
                           **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1888,7 +2242,7 @@ def flash_biased_attention_bwd(
         out_shape = (out_shape, jax.ShapeDtypeStruct((H, n_i),
                                                      jnp.float32))
         scratch.append(pltpu.VMEM((1, 1), jnp.float32))
-    dq_res = pl.pallas_call(
+    dq_res = _pcall(
         functools.partial(_biased_bwd_dq_kernel, n_j=n_walk_j,
                           need_dscale=need_dscale, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1913,7 +2267,7 @@ def flash_biased_attention_bwd(
     c_m = _b((block_m, block_n), lambda h, j, i, il, *_: (il[j, i], j))
     c_row = _b((1, block_m, 1), lambda h, j, i, il, *_: (h, il[j, i], 0))
     c_d1 = _b((block_m, H), lambda h, j, i, il, *_: (il[j, i], 0))
-    dk, dv = pl.pallas_call(
+    dk, dv = _pcall(
         functools.partial(_biased_bwd_dkv_kernel, n_i=n_walk_i, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4, grid=(H, n_j, n_walk_i),

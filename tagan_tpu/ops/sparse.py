@@ -126,6 +126,84 @@ def edge_attention(
     return spmm(w, v, edge_q, edge_k, num_nodes)
 
 
+def edge_attention_partial(
+    metric: str,
+    q: jax.Array, k: jax.Array, v: jax.Array,   # [H, N, D]
+    edge_q: jax.Array, edge_k: jax.Array, edge_mask: jax.Array,
+    num_nodes: int,
+    *,
+    sigma=None, gamma=None, cov_inv=None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+):
+    """Partial sparse attention over ONE edge subset: returns
+    ``(out, lse)`` where ``out`` [H, N, D] is the softmax-normalized
+    aggregation over *these edges only* and ``lse`` [H, N] is the
+    per-query logsumexp of their scores (``NEG_INF`` where a query has
+    no valid edge). Combine partials over disjoint edge subsets with
+    `merge_attention_partials` — exactly equal to one softmax over the
+    union (the flash-combine identity). Dropout applies to the
+    normalized weights; since dropping is linear in the weight, a
+    dropped partial merges into a dropped union softmax exactly.
+
+    No self loops are added here — callers decide which subset owns the
+    diagonal (the hybrid backend puts it in the band part)."""
+    scores = sddmm(metric, q, k, edge_q, edge_k, sigma=sigma, gamma=gamma,
+                   cov_inv=cov_inv)
+    neg = jnp.asarray(NEG_INF, scores.dtype)
+    s = jnp.where(edge_mask[None, :], scores, neg)
+    seg_max = jax.ops.segment_max(s.T, edge_q,
+                                  num_segments=num_nodes)       # [N, H]
+    dead = seg_max <= neg * 0.5
+    m_safe = jnp.where(dead, 0.0, seg_max)
+    e = jnp.exp(s - jnp.take(m_safe, edge_q, axis=0).T) \
+        * edge_mask[None, :].astype(scores.dtype)
+    denom = jax.ops.segment_sum(e.T, edge_q,
+                                num_segments=num_nodes)          # [N, H]
+    safe_denom = jnp.where(denom == 0, 1.0, denom)
+    w = e / jnp.take(safe_denom, edge_q, axis=0).T
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = 1.0 - dropout_rate
+        mkeep = jax.random.bernoulli(dropout_rng, keep, w.shape)
+        w = jnp.where(mkeep, w / keep, 0.0)
+    out = spmm(w, v, edge_q, edge_k, num_nodes)
+    lse = jnp.where(dead, neg, m_safe + jnp.log(safe_denom)).T   # [H, N]
+    return out, lse
+
+
+def merge_attention_partials(parts):
+    """Merge partial attentions over disjoint edge subsets into the
+    exact union softmax: ``parts`` is a sequence of ``(out, lse)`` with
+    out [H, N, D] normalized within its subset and lse [H, N] the
+    subset logsumexp. Dead-row conventions of both producers are
+    honored: the csr partial marks dead rows with a large NEGATIVE lse
+    (`ops.masked.NEG_INF`), the flash kernel with a large POSITIVE one
+    (`flash_geometric.LSE_DEAD`) — any |lse| >= 1e29 counts as dead.
+
+    Returns (out, lse) with out 0 / lse NEG_INF on rows dead in every
+    part. Fully differentiable (the max is stop-gradient'd — the merged
+    output is analytically invariant to the shift)."""
+    outs = [o for o, _ in parts]
+    lses = []
+    for _, lse in parts:
+        dead = jnp.abs(lse) >= 1e29
+        lses.append(jnp.where(dead, NEG_INF, lse))
+    m = lses[0]
+    for lse in lses[1:]:
+        m = jnp.maximum(m, lse)
+    all_dead = m <= NEG_INF * 0.5
+    m_safe = jax.lax.stop_gradient(jnp.where(all_dead, 0.0, m))
+    # exp(NEG_INF - m_safe) underflows to exactly 0 for dead parts
+    ws = [jnp.exp(lse - m_safe) for lse in lses]
+    denom = sum(ws)
+    safe_denom = jnp.where(denom == 0, 1.0, denom)
+    out = sum(o * w[..., None] for o, w in zip(outs, ws)) \
+        / safe_denom[..., None]
+    out = jnp.where(all_dead[..., None], 0.0, out)
+    lse = jnp.where(all_dead, NEG_INF, m_safe + jnp.log(safe_denom))
+    return out, lse
+
+
 def add_self_loops(edge_q: jax.Array, edge_k: jax.Array, edge_mask: jax.Array,
                    node_mask: jax.Array):
     """Append one self-loop edge per active node (the dense adapter adds

@@ -618,3 +618,178 @@ def test_flash_packed_biased_and_dropout(_force_packed):
     # packed (96-blocks) and unpacked (32-blocks) drop identical entries
     np.testing.assert_allclose(float(loss(96, 96)), float(loss(32, 32)),
                                rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Compact occupied-block masks + differentiable lse
+# ---------------------------------------------------------------------------
+
+def _edge_data(N=96, E=200, seed=51):
+    rng = np.random.default_rng(seed)
+    eq = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+    ek = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+    em = jnp.asarray(rng.random(E) < 0.8)
+    nm = jnp.asarray(rng.random(N) < 0.9)
+    adj = np.zeros((N, N), bool)
+    adj[np.asarray(eq)[np.asarray(em)], np.asarray(ek)[np.asarray(em)]] = True
+    d = np.arange(N)
+    nm_np = np.asarray(nm)
+    adj[d[nm_np], d[nm_np]] = True     # self loops for live nodes
+    return eq, ek, em, nm, jnp.asarray(adj)
+
+
+def test_compact_structure_matches_dense_plans():
+    """Compact builder's plans == the dense-mask plans, and the block
+    store reassembles into exactly the dense mask."""
+    N, BM, BN = 96, 32, 32
+    eq, ek, em, nm, adj = _edge_data(N=N)
+    S = FG.occupied_blocks_total(np.asarray(adj), BM, BN)
+    mask_blocks, cplan, cplan_t = FG.make_compact_structure_from_edges(
+        eq, ek, em, nm, N, BM, BN, max_slots=S)
+    plan, plan_t = FG.make_block_plans_from_edges(eq, ek, em, nm, N,
+                                                 BM, BN)
+    np.testing.assert_array_equal(np.asarray(cplan[0]),
+                                  np.asarray(plan[0]))
+    np.testing.assert_array_equal(np.asarray(cplan[1]),
+                                  np.asarray(plan[1]))
+    np.testing.assert_array_equal(np.asarray(cplan_t[0]),
+                                  np.asarray(plan_t[0]))
+    np.testing.assert_array_equal(np.asarray(cplan_t[1]),
+                                  np.asarray(plan_t[1]))
+    # reassemble: slot order is row-major over occupied blocks
+    mb = np.asarray(mask_blocks)
+    dense = np.zeros((N, N), np.int8)
+    occ = np.asarray(adj).reshape(N // BM, BM, N // BN, BN).sum(
+        axis=(1, 3)) > 0
+    slot = 0
+    for i in range(N // BM):
+        for j in range(N // BN):
+            if occ[i, j]:
+                dense[i * BM:(i + 1) * BM, j * BN:(j + 1) * BN] = \
+                    mb[slot]
+                slot += 1
+    assert slot == S
+    np.testing.assert_array_equal(dense != 0, np.asarray(adj))
+    # slot arrays point at the right store entries for every walk step
+    jl, jc, js = (np.asarray(a) for a in cplan)
+    flat_slot = np.cumsum(occ.reshape(-1)) - 1
+    for i in range(N // BM):
+        for p in range(jc[i]):
+            assert js[i, p] == flat_slot[i * (N // BN) + jl[i, p]]
+
+
+@pytest.mark.parametrize("metric", ["scaled_dot_product", "euclidean",
+                                    "gaussian_kernel"])
+def test_flash_compact_matches_dense(metric, _bwd_path):
+    """Forward, lse and all grads through the compact-mask path match
+    the dense-mask path exactly (same blocks, different storage)."""
+    N, BM, BN = 96, 32, 32
+    eq, ek, em, nm, adj = _edge_data(N=N, seed=61)
+    q, k, v, _ = _data(N=N, H=2, Dh=16, seed=62, dead_row=False)
+    scale = jnp.asarray([0.8, 1.2]) if metric == "gaussian_kernel" \
+        else None
+    S = FG.occupied_blocks_total(np.asarray(adj), BM, BN)
+    mask_blocks, cplan, cplan_t = FG.make_compact_structure_from_edges(
+        eq, ek, em, nm, N, BM, BN, max_slots=S)
+
+    def loss_compact(q, k, v, s):
+        out, lse = FG.flash_geometric_attention_lse(
+            q, k, v, mask_blocks, metric=metric, scale_param=s,
+            block_m=BM, block_n=BN, plan=cplan, plan_t=cplan_t)
+        live = lse < FG.LSE_DEAD / 2
+        return jnp.sum(out ** 2) + jnp.sum(jnp.where(live, lse, 0.0))
+
+    def loss_dense(q, k, v, s):
+        out, lse = FG.flash_geometric_attention_lse(
+            q, k, v, adj, metric=metric, scale_param=s,
+            block_m=BM, block_n=BN)
+        live = lse < FG.LSE_DEAD / 2
+        return jnp.sum(out ** 2) + jnp.sum(jnp.where(live, lse, 0.0))
+
+    nums = (0, 1, 2, 3) if scale is not None else (0, 1, 2)
+    lc = loss_compact(q, k, v, scale)
+    ld = loss_dense(q, k, v, scale)
+    np.testing.assert_allclose(float(lc), float(ld), rtol=1e-5)
+    gc = jax.grad(loss_compact, argnums=nums)(q, k, v, scale)
+    gd = jax.grad(loss_dense, argnums=nums)(q, k, v, scale)
+    for a, b in zip(gc, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("metric", ["scaled_dot_product",
+                                    "cosine_similarity",
+                                    "rbf_kernel"])
+def test_flash_lse_grads_match_oracle(metric):
+    """(out, lse) and grads THROUGH THE LSE OUTPUT match XLA autodiff of
+    the dense oracle's logsumexp — the property the hybrid merge relies
+    on."""
+    q, k, v, adj = _data(N=70, H=2, Dh=16, seed=63)
+    scale = jnp.asarray([0.9, 1.1]) if metric == "rbf_kernel" else None
+
+    def loss_flash(q, k, v, s):
+        out, lse = FG.flash_geometric_attention_lse(
+            q, k, v, adj, metric=metric, scale_param=s,
+            block_m=32, block_n=32)
+        live = lse < FG.LSE_DEAD / 2
+        return (jnp.sum(out ** 2)
+                + jnp.sum(jnp.where(live, jnp.sin(lse), 0.0)))
+
+    def loss_ref(q, k, v, s):
+        sig = s if metric == "gaussian_kernel" else None
+        gam = s if metric == "rbf_kernel" else None
+        scores = D.pairwise_scores(metric, q, k, sigma=sig, gamma=gam)
+        sm = jnp.where(adj[None], scores, -jnp.inf)
+        lse = jax.scipy.special.logsumexp(sm, axis=-1)
+        live = jnp.isfinite(lse)
+        w = masked_softmax(scores, adj[None])
+        out = jnp.einsum("hij,hjd->hid", w, v)
+        return (jnp.sum(out ** 2)
+                + jnp.sum(jnp.where(live, jnp.sin(
+                    jnp.where(live, lse, 0.0)), 0.0)))
+
+    nums = (0, 1, 2, 3) if scale is not None else (0, 1, 2)
+    np.testing.assert_allclose(float(loss_flash(q, k, v, scale)),
+                               float(loss_ref(q, k, v, scale)), rtol=1e-4)
+    g1 = jax.grad(loss_flash, argnums=nums)(q, k, v, scale)
+    g2 = jax.grad(loss_ref, argnums=nums)(q, k, v, scale)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_flash_compact_padding_invariance():
+    """Same graph, two paddings (N=70 inside 96- vs 128-slot space):
+    live-row outputs identical; N not a block multiple is exercised via
+    the 70-node graph in 32-blocks."""
+    N = 70
+    rng = np.random.default_rng(71)
+    E = 180
+    eq = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+    ek = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+    em = jnp.asarray(rng.random(E) < 0.8)
+    nm = jnp.asarray(np.ones(N, bool))
+    q, k, v, _ = _data(N=N, H=2, Dh=16, seed=72, dead_row=False)
+
+    outs = []
+    for pad_to in (96, 128):
+        Npad = pad_to
+        pq = jnp.pad(q, ((0, 0), (0, Npad - N), (0, 0)))
+        pk = jnp.pad(k, ((0, 0), (0, Npad - N), (0, 0)))
+        pv = jnp.pad(v, ((0, 0), (0, Npad - N), (0, 0)))
+        pnm = jnp.pad(nm, (0, Npad - N))
+        adj = np.zeros((Npad, Npad), bool)
+        adj[np.asarray(eq)[np.asarray(em)],
+            np.asarray(ek)[np.asarray(em)]] = True
+        d = np.arange(N)
+        adj[d, d] = True
+        S = FG.occupied_blocks_total(adj, 32, 32)
+        mask_blocks, cplan, cplan_t = \
+            FG.make_compact_structure_from_edges(
+                eq, ek, em, pnm, Npad, 32, 32, max_slots=S)
+        out, lse = FG.flash_geometric_attention_lse(
+            pq, pk, pv, mask_blocks, block_m=32, block_n=32,
+            plan=cplan, plan_t=cplan_t)
+        outs.append((np.asarray(out)[:, :N], np.asarray(lse)[:, :N]))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)

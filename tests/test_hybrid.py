@@ -1,0 +1,221 @@
+"""Hybrid band + residual spatial backend.
+
+The partial-attention merge (flash band with differentiable lse + csr
+residual) must equal ONE softmax over the union edge set — the dense
+GeometricAttention path is the oracle. Kernels run in interpreter mode
+(conftest pins CPU); the real-TPU spot check lives in
+benchmarks/bench_partition_stress.py.
+"""
+
+import functools
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tagan_tpu as tt
+from tagan_tpu.ops import sparse as S
+from tagan_tpu.ops.pallas import flash_geometric as FG
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    monkeypatch.setattr(FG.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    yield
+
+
+def _split_edges(N=96, E=220, seed=5, width=24):
+    """Random banded+residual graph: returns (band, residual, union adj
+    incl. self loops on live nodes, node_mask)."""
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, N, E)
+    sel = rng.random(E) < 0.8
+    near = np.clip(src + rng.integers(-width, width + 1, E), 0, N - 1)
+    far = rng.integers(0, N, E)
+    dst = np.where(sel, near, far)
+    nm = rng.random(N) < 0.95
+    # model invariant (build_sequence): valid edges connect active nodes
+    em = (rng.random(E) < 0.9) & nm[src] & nm[dst]
+    gap = np.abs(src - dst)
+    band = em & (gap <= width)
+    res = em & ~band
+    adj = np.zeros((N, N), bool)
+    adj[src[em], dst[em]] = True
+    d = np.arange(N)
+    adj[d[nm], d[nm]] = True
+    return (src, dst, em, band, res, adj, nm)
+
+
+def test_partial_plus_merge_equals_union_softmax():
+    """csr partials over two disjoint edge subsets merge into exactly
+    the one-softmax result over the union (grads included)."""
+    N, H, Dh = 60, 2, 8
+    src, dst, em, band, res, adj, nm = _split_edges(N=N, E=150, seed=7)
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    eq = jnp.asarray(src, jnp.int32)
+    ek = jnp.asarray(dst, jnp.int32)
+
+    def loss_merged(q, k, v):
+        p1 = S.edge_attention_partial("scaled_dot_product", q, k, v,
+                                      eq, ek, jnp.asarray(band), N)
+        p2 = S.edge_attention_partial("scaled_dot_product", q, k, v,
+                                      eq, ek, jnp.asarray(res), N)
+        out, _ = S.merge_attention_partials([p1, p2])
+        return jnp.sum(out ** 2)
+
+    def loss_union(q, k, v):
+        out = S.edge_attention("scaled_dot_product", q, k, v, eq, ek,
+                               jnp.asarray(em), N)
+        return jnp.sum(out ** 2)
+
+    np.testing.assert_allclose(float(loss_merged(q, k, v)),
+                               float(loss_union(q, k, v)), rtol=1e-5)
+    g1 = jax.grad(loss_merged, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_union, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("metric", ["scaled_dot_product", "euclidean",
+                                    "cosine_similarity", "mahalanobis"])
+def test_apply_hybrid_matches_dense(metric):
+    """apply_hybrid (flash band + csr residual + merge) == the dense
+    GeometricAttention on the union adjacency, output and grads."""
+    from tagan_tpu.nn import GeometricAttention
+    N, BM, BN = 96, 32, 32
+    src, dst, em, band, res, adj, nm = _split_edges(N=N, seed=11)
+    attn = GeometricAttention(hidden_dim=32, num_heads=2, dropout=0.0,
+                              distance_metric=metric,
+                              learnable_distance=metric == "mahalanobis")
+    params = attn.init(jax.random.key(0))
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((N, 32)), jnp.float32)
+
+    eqb = jnp.asarray(src, jnp.int32)
+    ekb = jnp.asarray(dst, jnp.int32)
+    S_slots = FG.occupied_blocks_total(
+        _band_adj(src, dst, band, nm, N), BM, BN)
+    mask_blocks, cplan, cplan_t = FG.make_compact_structure_from_edges(
+        eqb, ekb, jnp.asarray(band), jnp.asarray(nm), N, BM, BN,
+        max_slots=S_slots)
+
+    def hyb(pp, xx):
+        return attn.apply_hybrid(
+            pp, xx, mask_blocks, cplan, cplan_t,
+            eqb, ekb, jnp.asarray(res), jnp.asarray(nm),
+            block_m=BM, block_n=BN)
+
+    got = hyb(params, x)
+    pair = jnp.asarray(nm)[:, None] & jnp.asarray(nm)[None, :]
+    want = attn(params, x, jnp.asarray(adj) & pair)
+    want = jnp.where(jnp.asarray(nm)[:, None], want, x)
+    np.testing.assert_allclose(np.asarray(got)[np.asarray(nm)],
+                               np.asarray(want)[np.asarray(nm)],
+                               rtol=2e-4, atol=2e-4)
+    gh = jax.grad(lambda pp: jnp.sum(hyb(pp, x) ** 2))(params)
+    gd = jax.grad(lambda pp: jnp.sum(jnp.where(
+        jnp.asarray(nm)[:, None],
+        attn(pp, x, jnp.asarray(adj) & pair), x) ** 2))(params)
+    flat_h, _ = jax.flatten_util.ravel_pytree(gh)
+    flat_d, _ = jax.flatten_util.ravel_pytree(gd)
+    np.testing.assert_allclose(np.asarray(flat_h), np.asarray(flat_d),
+                               rtol=3e-3, atol=3e-3)
+
+
+def _band_adj(src, dst, band, nm, N):
+    adj = np.zeros((N, N), bool)
+    adj[src[band], dst[band]] = True
+    d = np.arange(N)
+    adj[d[nm], d[nm]] = True
+    return adj
+
+
+def test_with_hybrid_plan_and_model_forward():
+    """End-to-end: build_sequence -> with_hybrid_plan -> TAGAN with
+    spatial_backend='hybrid' == the same model on the flash backend."""
+    rng = np.random.default_rng(21)
+    N, T, F = 70, 3, 8
+    snaps = []
+    for t in range(T):
+        E = 160
+        src = rng.integers(0, N, E)
+        near = np.clip(src + rng.integers(-12, 13, E), 0, N - 1)
+        far = rng.integers(0, N, E)
+        dst = np.where(rng.random(E) < 0.85, near, far)
+        snaps.append({"x": rng.standard_normal((N, F)).astype(np.float32),
+                      "edge_index": np.stack([src, dst]),
+                      "node_ids": list(range(N)), "timestep": float(t)})
+    seq = tt.build_sequence(snaps, max_nodes=N, max_edges=160, max_time=T)
+    seq_h = seq.with_hybrid_plan(band_width=12, block_m=32, block_n=32)
+    assert seq_h.hyb_mask_blocks is not None
+    # residual split actually nonempty and disjoint
+    assert bool(seq_h.hyb_res[2].sum()) > 0
+
+    lbl = jnp.asarray(1.0)
+    cfgs = [tt.TAGANConfig(hidden_dim=32, num_heads=2, num_layers=2,
+                           node_feature_dim=F, output_dim=1,
+                           loss_type="bce", dropout=0.0,
+                           spatial_backend=b)
+            for b in ("hybrid", "flash")]
+    models = [tt.TAGAN(c) for c in cfgs]
+    params = models[0].init(jax.random.key(3))
+    out_h = models[0](params, seq_h, lbl)
+    out_f = models[1](params, seq_h, lbl)
+    np.testing.assert_allclose(float(out_h.loss), float(out_f.loss),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_h.logits),
+                               np.asarray(out_f.logits),
+                               rtol=2e-3, atol=2e-3)
+    # grads flow end-to-end
+    g = jax.grad(lambda pp: models[0](pp, seq_h, lbl).loss)(params)
+    flat, _ = jax.flatten_util.ravel_pytree(g)
+    assert np.isfinite(np.asarray(flat)).all()
+    assert float(jnp.sum(jnp.abs(flat))) > 0
+
+
+def test_hybrid_dropout_trains():
+    """Dropout path: in-kernel band dropout + per-edge residual dropout
+    produce finite grads and differ from the deterministic output."""
+    from tagan_tpu.nn import GeometricAttention
+    N, BM, BN = 64, 32, 32
+    src, dst, em, band, res, adj, nm = _split_edges(N=N, E=150, seed=31,
+                                                    width=16)
+    attn = GeometricAttention(hidden_dim=32, num_heads=2, dropout=0.3)
+    params = attn.init(jax.random.key(1))
+    rng = np.random.default_rng(32)
+    x = jnp.asarray(rng.standard_normal((N, 32)), jnp.float32)
+    S_slots = FG.occupied_blocks_total(
+        _band_adj(src, dst, band, nm, N), BM, BN)
+    mask_blocks, cplan, cplan_t = FG.make_compact_structure_from_edges(
+        jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+        jnp.asarray(band), jnp.asarray(nm), N, BM, BN,
+        max_slots=S_slots)
+
+    def run(rng_key=None):
+        return attn.apply_hybrid(
+            params, x, mask_blocks, cplan, cplan_t,
+            jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+            jnp.asarray(res), jnp.asarray(nm), block_m=BM, block_n=BN,
+            deterministic=rng_key is None, rng=rng_key)
+
+    det = run()
+    drp = run(jax.random.key(9))
+    assert not np.allclose(np.asarray(det), np.asarray(drp), atol=1e-4)
+    g = jax.grad(lambda pp: jnp.sum(attn.apply_hybrid(
+        pp, x, mask_blocks, cplan, cplan_t,
+        jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+        jnp.asarray(res), jnp.asarray(nm), block_m=BM, block_n=BN,
+        deterministic=False, rng=jax.random.key(10)) ** 2))(params)
+    flat, _ = jax.flatten_util.ravel_pytree(g)
+    assert np.isfinite(np.asarray(flat)).all()

@@ -74,3 +74,109 @@ def test_sequences_feed_model(stream):
     loss = jax.jit(lambda p, s: model(p, s, jnp.asarray(1.0)).loss)(
         params, seq)
     assert np.isfinite(float(loss))
+
+
+def test_node_pooling_variants():
+    """node_pooling mean/max/attention all run; attention/max actually
+    change the readout (the mean is the reference's hardwired pooling,
+    model.py:377-427)."""
+    import jax
+    import jax.numpy as jnp
+    from tagan_tpu.nn.model import TAGAN
+    rng = np.random.default_rng(3)
+    N, T, F = 20, 4, 8
+    snaps = [{"x": rng.standard_normal((N, F)).astype(np.float32),
+              "edge_index": np.stack([rng.integers(0, N, 40),
+                                      rng.integers(0, N, 40)]),
+              "node_ids": list(range(N)), "timestep": float(t)}
+             for t in range(T)]
+    seq = tt.build_sequence(snaps, max_nodes=N, max_edges=40, max_time=T)
+    outs = {}
+    for pool in ("mean", "max", "attention"):
+        cfg = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=1,
+                             node_feature_dim=F, output_dim=1,
+                             loss_type="bce", dropout=0.0,
+                             node_pooling=pool)
+        model = TAGAN(cfg)
+        params = model.init(jax.random.key(0))
+        if pool == "attention":
+            assert "node_pool" in params
+        out = model(params, seq, jnp.asarray(1.0))
+        assert np.isfinite(float(out.loss))
+        g = jax.grad(lambda p: model(p, seq, jnp.asarray(1.0)).loss)(
+            params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        outs[pool] = float(out.logits[0])
+    assert outs["mean"] != outs["max"]
+    assert outs["mean"] != outs["attention"]
+
+
+def test_needle_task_not_all_positive_with_attention_pooling():
+    """The reference ships test_bias_fix.py (:73-260) precisely to catch
+    all-positive collapse; round 2's TGN result collapsed that way
+    (specificity 0.0) because mean pooling dilutes a one-node burst.
+    With node_pooling="attention", a short training run on a balanced
+    needle task must separate the classes: not all-positive, not
+    all-negative at threshold 0.5."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tagan_tpu.nn.model import TAGAN
+
+    rng = np.random.default_rng(7)
+    N, T, F, S = 24, 3, 6, 24
+    seqs, labels = [], []
+    for s in range(S):
+        label = s % 2
+        needle = int(rng.integers(0, N))
+        snaps = []
+        for t in range(T):
+            x = rng.standard_normal((N, F)).astype(np.float32)
+            if label:
+                x[needle, 0] += 6.0        # one-node burst
+            snaps.append({"x": x,
+                          "edge_index": np.stack(
+                              [rng.integers(0, N, 40),
+                               rng.integers(0, N, 40)]),
+                          "node_ids": list(range(N)),
+                          "timestep": float(t)})
+        seqs.append(tt.build_sequence(snaps, max_nodes=N, max_edges=40,
+                                      max_time=T))
+        labels.append(float(label))
+    from tagan_tpu.core.graph import batch_sequences
+    batch = batch_sequences(seqs)
+    lbl = jnp.asarray(labels)
+
+    cfg = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=1,
+                         node_feature_dim=F, output_dim=1,
+                         loss_type="bce", dropout=0.0,
+                         learning_rate=1e-2, node_pooling="attention")
+    model = TAGAN(cfg)
+    params = model.init(jax.random.key(1))
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        out = jax.vmap(lambda s, l: model(p, s, l).loss)(batch, lbl)
+        return jnp.mean(out)
+
+    @jax.jit
+    def step(p, o):
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    for _ in range(40):
+        params, opt, loss = step(params, opt)
+    preds = jax.jit(jax.vmap(
+        lambda s: model(params, s, None).predictions))(batch)
+    hard = np.asarray(preds).reshape(-1) > 0.5
+    y = np.asarray(labels) > 0.5
+    tn = int(np.sum(~hard & ~y))
+    tp = int(np.sum(hard & y))
+    # the reference's collapse check: neither all-positive nor
+    # all-negative on balanced data
+    assert tn > 0, "all-positive collapse (reference test_bias_fix.py)"
+    assert tp > 0, "all-negative collapse"
+    assert float(loss) < 0.5
