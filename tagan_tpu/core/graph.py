@@ -73,6 +73,10 @@ class SnapshotSequence:
     # compaction) and ring_bnd_idx i32[T, G, Bp] lists each shard's
     # exported boundary rows
     ring_bnd_idx: Optional[jax.Array] = None
+    # per-bucket provenance i32[T, G, G, Ep]: each slot's original edge
+    # position in edge_attr[t] (-1 for self loops / padding) — lets the
+    # ring backend gather per-edge feature bias values
+    ring_esrc: Optional[jax.Array] = None
     # hybrid band+residual plan (set by `with_hybrid_plan`, consumed by
     # ``spatial_backend="hybrid"``): per snapshot, the near-diagonal
     # BAND edges (incl. self loops) as a compact occupied-block mask
@@ -161,12 +165,17 @@ class SnapshotSequence:
             raise ValueError(
                 f"max_nodes={N} not divisible by num_shards={num_shards}"
                 " — pad max_nodes to a shard multiple at build time")
-        eq_t, ek_t, em_t = [], [], []
+        eq_t, ek_t, em_t, es_t = [], [], [], []
         src = np.asarray(self.edge_src)
         dst = np.asarray(self.edge_dst)
         em = np.asarray(self.edge_mask)
         nm = np.asarray(self.node_mask)
         diag = np.arange(N, dtype=src.dtype)
+        E = src.shape[1]
+        # original edge positions; appended self loops carry -1 (no
+        # edge_attr row -> zero bias, matching the dense diagonal)
+        ids = np.concatenate([np.arange(E, dtype=np.int64),
+                              np.full(N, -1, np.int64)])
         # two passes: a sizing pass picks one static Ep for all steps
         per_t = []
         for t in range(self.num_steps):
@@ -178,17 +187,19 @@ class SnapshotSequence:
             ep = 1
             for (s, d, m) in per_t:
                 per = N // num_shards
-                ids = (s // per) * num_shards + (d // per)
-                counts = np.bincount(ids[m], minlength=num_shards ** 2)
+                bids = (s // per) * num_shards + (d // per)
+                counts = np.bincount(bids[m], minlength=num_shards ** 2)
                 ep = max(ep, int(counts.max()) if counts.size else 1)
             max_edges_per_bucket = ep
         for (s, d, m) in per_t:
-            bq, bk, bm, _ = partition_edges_by_query_and_key(
+            bq, bk, bm, bs, _ = partition_edges_by_query_and_key(
                 s, d, m, N, num_shards,
-                max_edges_per_bucket=max_edges_per_bucket)
+                max_edges_per_bucket=max_edges_per_bucket,
+                edge_ids=ids)
             eq_t.append(bq)
             ek_t.append(bk)
             em_t.append(bm)
+            es_t.append(bs)
         bnd_t = None
         if boundary:
             from ..dist.edge_partition import make_boundary_plan
@@ -213,7 +224,8 @@ class SnapshotSequence:
             ring_ek=jnp.asarray(np.stack(ek_t)),
             ring_em=jnp.asarray(np.stack(em_t)),
             ring_bnd_idx=None if bnd_t is None
-            else jnp.asarray(np.stack(bnd_t)))
+            else jnp.asarray(np.stack(bnd_t)),
+            ring_esrc=jnp.asarray(np.stack(es_t)))
 
 
     def with_hybrid_plan(self, band_width: Optional[int] = None,

@@ -127,12 +127,19 @@ def partition_edges_by_query_and_key(
     edge_q: np.ndarray, edge_k: np.ndarray, edge_mask: np.ndarray,
     num_nodes: int, num_shards: int,
     max_edges_per_bucket: Optional[int] = None,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    edge_ids: Optional[np.ndarray] = None,
+):
     """Host-side: bucket edges by (query-owner, key-owner) shard pair.
 
     Returns (edge_q [G, G, Ep], edge_k [G, G, Ep], mask [G, G, Ep], Ep)
     where bucket [gq, gk] holds edges whose query lives on shard gq and
     key on shard gk — the layout the ring-overlap attention walks.
+
+    When ``edge_ids`` (an int array aligned with ``edge_q``; use -1 for
+    entries with no provenance, e.g. appended self loops) is given, a
+    fifth array i32[G, G, Ep] is returned before Ep carrying each
+    bucketed slot's original edge id (-1 on padding) — the per-edge
+    feature provenance the biased ring gathers bias values through.
     """
     assert num_nodes % num_shards == 0
     per = num_nodes // num_shards
@@ -162,25 +169,34 @@ def partition_edges_by_query_and_key(
     out_q[bucket // G, bucket % G, pos] = vq
     out_k[bucket // G, bucket % G, pos] = vk
     out_m[bucket // G, bucket % G, pos] = True
+    if edge_ids is not None:
+        vid = np.asarray(edge_ids)[em][order]
+        out_src = np.full((G, G, Ep), -1, np.int32)
+        out_src[bucket // G, bucket % G, pos] = vid
+        return out_q, out_k, out_m, out_src, Ep
     return out_q, out_k, out_m, Ep
 
 
-def _fold_chunk(metric, q_l, kc, vc, eqs, eks, ems, m, l, acc, per,
-                sigma, gamma, cov_inv, neg, keep=None, keep_inv=1.0):
-    """Fold one K/V chunk into the streaming per-query segment softmax:
-    (m, l, acc) -> updated. eqs are owner-local query ids, eks index
-    into `kc`/`vc` (chunk-local), ems masks padded bucket slots.
-    ``keep`` (bool[H, Ep]) drops the NORMALIZED weights: the V
-    accumulator takes the dropped p_e while the denominator keeps the
-    un-dropped sum — exactly dropout(softmax(s)) @ v, like the csr and
-    flash paths."""
+def _edge_scores(metric, q_l, kc, eqs, eks, ems, sigma, gamma, cov_inv,
+                 neg):
+    """Masked per-edge scores for one chunk: [H, Ep] (neg on padding)."""
     from ..ops.distances import edgewise_scores
-    H = q_l.shape[0]
     q_e = jnp.take(q_l, eqs, axis=1)       # [H, Ep, D]
     k_e = jnp.take(kc, eks, axis=1)
     s_e = edgewise_scores(metric, q_e, k_e, sigma=sigma,
                           gamma=gamma, cov_inv=cov_inv)
-    s_e = jnp.where(ems[None, :], s_e, neg)
+    return jnp.where(ems[None, :], s_e, neg)
+
+
+def _fold_scores(s_e, eqs, ems, m, l, acc, per, neg, v_e=None,
+                 keep=None, keep_inv=1.0):
+    """Fold one chunk's masked scores into the streaming per-query
+    segment softmax: (m, l[, acc]) -> updated. ``keep`` (bool[H, Ep])
+    drops the NORMALIZED weights: the V accumulator takes the dropped
+    p_e while the denominator keeps the un-dropped sum — exactly
+    dropout(softmax(s)) @ v, like the csr and flash paths. With
+    ``v_e=None`` only (m, l) update (the logsumexp-only pass)."""
+    H = s_e.shape[0]
 
     def seg_max(x):
         return jax.vmap(lambda r: jax.ops.segment_max(
@@ -201,7 +217,8 @@ def _fold_chunk(metric, q_l, kc, vc, eqs, eks, ems, m, l, acc, per,
     alpha = jnp.where(m_new <= neg * 0.5, 1.0, jnp.exp(m - m_new))
     alpha = jnp.where(m <= neg * 0.5, 0.0, alpha)
     l_new = l * alpha + seg_sum(p_e)
-    v_e = jnp.take(vc, eks, axis=1)        # [H, Ep, D]
+    if v_e is None:
+        return m_new, l_new
     p_v = p_e if keep is None else jnp.where(keep, p_e * keep_inv, 0.0)
     contrib = jax.vmap(lambda pe, ve: jax.ops.segment_sum(
         pe[:, None] * ve, eqs, num_segments=per))(p_v, v_e)
@@ -209,8 +226,49 @@ def _fold_chunk(metric, q_l, kc, vc, eqs, eks, ems, m, l, acc, per,
     return m_new, l_new, acc_new
 
 
+def _fold_chunk(metric, q_l, kc, vc, eqs, eks, ems, m, l, acc, per,
+                sigma, gamma, cov_inv, neg, keep=None, keep_inv=1.0):
+    """Fold one K/V chunk into the streaming per-query segment softmax:
+    (m, l, acc) -> updated. eqs are owner-local query ids, eks index
+    into `kc`/`vc` (chunk-local), ems masks padded bucket slots."""
+    s_e = _edge_scores(metric, q_l, kc, eqs, eks, ems, sigma, gamma,
+                       cov_inv, neg)
+    v_e = jnp.take(vc, eks, axis=1)        # [H, Ep, D]
+    return _fold_scores(s_e, eqs, ems, m, l, acc, per, neg, v_e=v_e,
+                        keep=keep, keep_inv=keep_inv)
+
+
+def _fold_biased_chunk(metric, q_l, kc, vc, eqs, eks, ems, b_e,
+                       m1, l1, m2, l2, acc, per, sigma, gamma, cov_inv,
+                       neg, keep1=None, keep2=None, keep_inv=1.0):
+    """Pass-B fold of the edge-biased (double-softmax) ring: given the
+    FINAL first-softmax stats (m1, l1) per query, recompute this
+    chunk's scores, form the first-softmax weights w_e (optionally
+    dropped by ``keep1`` — the dense path's dropout between the two
+    softmaxes), add the head-shared per-edge bias b_e [Ep], and fold
+    t_e = w_e + b_e into the streaming SECOND softmax (m2, l2, acc)
+    with ``keep2`` dropping its normalized weights — op-for-op the
+    semantics of `ops.sparse.edge_attention(edge_bias=...)`
+    (geometric_attention.py:567-575 re-softmax)."""
+    H = q_l.shape[0]
+    s_e = _edge_scores(metric, q_l, kc, eqs, eks, ems, sigma, gamma,
+                       cov_inv, neg)
+    shift1 = jnp.where(m1 <= neg * 0.5, 0.0, m1)
+    denom1 = jnp.where(l1 > 0, l1, 1.0)
+    eqs_h = jnp.broadcast_to(eqs, (H, eqs.shape[0]))
+    w_e = jnp.exp(s_e - jnp.take_along_axis(shift1, eqs_h, axis=1)) \
+        / jnp.take_along_axis(denom1, eqs_h, axis=1)
+    w_e = w_e * ems[None, :]
+    if keep1 is not None:
+        w_e = jnp.where(keep1, w_e * keep_inv, 0.0)
+    t_e = jnp.where(ems[None, :], w_e + b_e[None, :], neg)
+    v_e = jnp.take(vc, eks, axis=1)
+    return _fold_scores(t_e, eqs, ems, m2, l2, acc, per, neg, v_e=v_e,
+                        keep=keep2, keep_inv=keep_inv)
+
+
 def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int,
-                        dropout_rate: float = 0.0):
+                        dropout_rate: float = 0.0, biased: bool = False):
     """Build the shard_map'd ring-attention callable for use *inside*
     jit (no device_put — operands are resharded by GSPMD as needed).
 
@@ -223,10 +281,22 @@ def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int,
     pass all-ones/zeros placeholders when unused — shard_map needs
     concrete operands).
 
-    With ``dropout_rate`` > 0 the callable takes one extra operand
-    ``keep`` (bool[H, G, G, Ep], bucketed like the edges): attention
-    dropout on the normalized weights, identical semantics to the csr
-    and flash backends."""
+    With ``dropout_rate`` > 0 the callable takes one extra trailing
+    operand ``keep`` (bool[H, G, G, Ep], bucketed like the edges):
+    attention dropout on the normalized weights, identical semantics to
+    the csr and flash backends.
+
+    With ``biased=True`` the callable takes an extra ``bias`` operand
+    (f32[G, G, Ep], head-shared per-edge bias values, bucketed like the
+    edges) after edge_mask, and implements the dense path's
+    geometric-bias DOUBLE softmax (geometric_attention.py:567-575) in
+    two ring passes: pass A circulates K only and accumulates the
+    first softmax's per-query (max, sum); pass B circulates K and V,
+    reconstitutes the first-softmax weights w_e exactly from those
+    finals, and streams the second softmax over w_e + bias_e. Dropout
+    then needs TWO keep masks — ``keep`` becomes bool[2, H, G, G, Ep]
+    (keep[0] drops w_e between the softmaxes, keep[1] drops the final
+    normalized weights), matching `ops.sparse.edge_attention`'s order."""
     from ..ops.masked import NEG_INF
 
     g = mesh.shape[GRAPH_AXIS]
@@ -237,13 +307,9 @@ def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int,
     node_spec = P(None, GRAPH_AXIS, None)
     edge_spec = P(GRAPH_AXIS, None, None)
     keep_spec = P(None, GRAPH_AXIS, None, None)
+    keep2_spec = P(None, None, GRAPH_AXIS, None, None)
 
-    def local(q_l, k_l, v_l, eq_l, ek_l, em_l, sigma, gamma, cov_inv,
-              keep_l=None):
-        my = jax.lax.axis_index(GRAPH_AXIS)
-        eq_loc = eq_l[0] - my * per               # [G, Ep] local query ids
-        neg = jnp.asarray(NEG_INF, q_l.dtype)
-
+    def _varying_init(neg):
         # mark the accumulators as device-varying so scan's carry typing
         # matches the (varying) updates computed from sharded operands
         m0 = jax.lax.pcast(jnp.full((H, per), neg), GRAPH_AXIS,
@@ -252,6 +318,14 @@ def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int,
                           to='varying')
         acc0 = jax.lax.pcast(jnp.zeros((H, per, D)), GRAPH_AXIS,
                             to='varying')
+        return m0, l0, acc0
+
+    def local(q_l, k_l, v_l, eq_l, ek_l, em_l, sigma, gamma, cov_inv,
+              keep_l=None):
+        my = jax.lax.axis_index(GRAPH_AXIS)
+        eq_loc = eq_l[0] - my * per               # [G, Ep] local query ids
+        neg = jnp.asarray(NEG_INF, q_l.dtype)
+        m0, l0, acc0 = _varying_init(neg)
 
         def body(carry, step):
             m, l, acc, kc, vc = carry
@@ -275,19 +349,62 @@ def make_ring_attention(mesh: Mesh, metric: str, H: int, N: int, D: int,
         denom = jnp.where(l > 0, l, 1.0)
         return acc / denom[..., None]
 
+    def local_biased(q_l, k_l, v_l, eq_l, ek_l, em_l, bias_l, sigma,
+                     gamma, cov_inv, keep_l=None):
+        my = jax.lax.axis_index(GRAPH_AXIS)
+        eq_loc = eq_l[0] - my * per
+        neg = jnp.asarray(NEG_INF, q_l.dtype)
+        m0, l0, acc0 = _varying_init(neg)
+        perm = [(i, (i + 1) % g) for i in range(g)]
+
+        # pass A: first softmax's (max, sum) — K circulates alone
+        def body_a(carry, step):
+            m, l, kc = carry
+            src = jax.lax.rem(my - step + g, g)
+            s_e = _edge_scores(
+                metric, q_l, kc, eq_loc[src], ek_l[0, src] - src * per,
+                em_l[0, src], sigma, gamma, cov_inv, neg)
+            m, l = _fold_scores(s_e, eq_loc[src], em_l[0, src], m, l,
+                                None, per, neg)
+            return (m, l, jax.lax.ppermute(kc, GRAPH_AXIS, perm)), 0
+
+        (m1, l1, _), _ = jax.lax.scan(body_a, (m0, l0, k_l),
+                                      jnp.arange(g))
+
+        # pass B: stream the second softmax over w_e + bias_e
+        def body_b(carry, step):
+            m, l, acc, kc, vc = carry
+            src = jax.lax.rem(my - step + g, g)
+            kp1 = None if keep_l is None else keep_l[0, :, 0, src]
+            kp2 = None if keep_l is None else keep_l[1, :, 0, src]
+            m, l, acc = _fold_biased_chunk(
+                metric, q_l, kc, vc, eq_loc[src],
+                ek_l[0, src] - src * per, em_l[0, src], bias_l[0, src],
+                m1, l1, m, l, acc, per, sigma, gamma, cov_inv, neg,
+                keep1=kp1, keep2=kp2, keep_inv=inv)
+            kc2 = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
+            vc2 = jax.lax.ppermute(vc, GRAPH_AXIS, perm)
+            return (m, l, acc, kc2, vc2), 0
+
+        (m2, l2, acc, _, _), _ = jax.lax.scan(
+            body_b, (m0, l0, acc0, k_l, v_l), jnp.arange(g))
+        denom = jnp.where(l2 > 0, l2, 1.0)
+        return acc / denom[..., None]
+
     rep = P()
+    base = (node_spec, node_spec, node_spec,
+            edge_spec, edge_spec, edge_spec)
+    if biased:
+        specs = base + (edge_spec, rep, rep, rep)
+        if dropout_rate > 0.0:
+            specs = specs + (keep2_spec,)
+        return jax.shard_map(local_biased, mesh=mesh, in_specs=specs,
+                             out_specs=node_spec)
+    specs = base + (rep, rep, rep)
     if dropout_rate > 0.0:
-        return jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(node_spec, node_spec, node_spec,
-                      edge_spec, edge_spec, edge_spec, rep, rep, rep,
-                      keep_spec),
-            out_specs=node_spec)
-    return jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(node_spec, node_spec, node_spec,
-                  edge_spec, edge_spec, edge_spec, rep, rep, rep),
-        out_specs=node_spec)
+        specs = specs + (keep_spec,)
+    return jax.shard_map(local, mesh=mesh, in_specs=specs,
+                         out_specs=node_spec)
 
 
 def ring_edge_attention(
@@ -420,7 +537,8 @@ def make_boundary_plan(
 
 
 def make_boundary_ring_attention(mesh: Mesh, metric: str, H: int, N: int,
-                                 D: int, dropout_rate: float = 0.0):
+                                 D: int, dropout_rate: float = 0.0,
+                                 biased: bool = False):
     """Boundary-only ring: hop 0 folds the diagonal bucket against the
     full local K/V; the remaining g-1 hops circulate only each shard's
     boundary compaction (rows another shard actually references —
@@ -434,7 +552,12 @@ def make_boundary_ring_attention(mesh: Mesh, metric: str, H: int, N: int,
     with ek_local/bnd_idx from `make_boundary_plan` (ek stored
     pre-localized: diagonal -> shard-local, off-diagonal -> boundary
     positions). ``dropout_rate`` > 0 adds a trailing ``keep``
-    (bool[H, G, G, Ep]) operand like `make_ring_attention`."""
+    (bool[H, G, G, Ep]) operand like `make_ring_attention`.
+
+    ``biased=True`` adds a ``bias`` operand (f32[G, G, Ep]) after
+    edge_mask and runs the double-softmax in two boundary passes (see
+    `make_ring_attention`); with dropout the trailing keep becomes
+    bool[2, H, G, G, Ep]."""
     from ..ops.masked import NEG_INF
 
     g = mesh.shape[GRAPH_AXIS]
@@ -446,19 +569,24 @@ def make_boundary_ring_attention(mesh: Mesh, metric: str, H: int, N: int,
     edge_spec = P(GRAPH_AXIS, None, None)
     bnd_spec = P(GRAPH_AXIS, None)
     keep_spec = P(None, GRAPH_AXIS, None, None)
+    keep2_spec = P(None, None, GRAPH_AXIS, None, None)
+    perm = [(i, (i + 1) % g) for i in range(g)]
 
-    def local(q_l, k_l, v_l, eq_l, ek_l, em_l, bidx_l, sigma, gamma,
-              cov_inv, keep_l=None):
-        my = jax.lax.axis_index(GRAPH_AXIS)
-        eq_loc = eq_l[0] - my * per               # [G, Ep] local query ids
-        neg = jnp.asarray(NEG_INF, q_l.dtype)
-
+    def _varying_init(neg):
         m0 = jax.lax.pcast(jnp.full((H, per), neg), GRAPH_AXIS,
                           to='varying')
         l0 = jax.lax.pcast(jnp.zeros((H, per)), GRAPH_AXIS,
                           to='varying')
         acc0 = jax.lax.pcast(jnp.zeros((H, per, D)), GRAPH_AXIS,
                             to='varying')
+        return m0, l0, acc0
+
+    def local(q_l, k_l, v_l, eq_l, ek_l, em_l, bidx_l, sigma, gamma,
+              cov_inv, keep_l=None):
+        my = jax.lax.axis_index(GRAPH_AXIS)
+        eq_loc = eq_l[0] - my * per               # [G, Ep] local query ids
+        neg = jnp.asarray(NEG_INF, q_l.dtype)
+        m0, l0, acc0 = _varying_init(neg)
 
         # hop 0: the diagonal bucket against the full local chunk
         kp0 = None if keep_l is None else keep_l[:, 0, my]
@@ -473,7 +601,6 @@ def make_boundary_ring_attention(mesh: Mesh, metric: str, H: int, N: int,
 
         def body(carry, step):
             m, l, acc, kc, vc = carry
-            perm = [(i, (i + 1) % g) for i in range(g)]
             kc = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
             vc = jax.lax.ppermute(vc, GRAPH_AXIS, perm)
             src = jax.lax.rem(my - step + g, g)
@@ -489,20 +616,77 @@ def make_boundary_ring_attention(mesh: Mesh, metric: str, H: int, N: int,
         denom = jnp.where(l > 0, l, 1.0)
         return acc / denom[..., None]
 
+    def local_biased(q_l, k_l, v_l, eq_l, ek_l, em_l, bias_l, bidx_l,
+                     sigma, gamma, cov_inv, keep_l=None):
+        my = jax.lax.axis_index(GRAPH_AXIS)
+        eq_loc = eq_l[0] - my * per
+        neg = jnp.asarray(NEG_INF, q_l.dtype)
+        m0, l0, acc0 = _varying_init(neg)
+        kb = jnp.take(k_l, bidx_l[0], axis=1)     # [H, Bp, D]
+        vb = jnp.take(v_l, bidx_l[0], axis=1)
+
+        # pass A: first softmax's (max, sum); hop 0 diag, then only
+        # the boundary K rows circulate
+        s_d = _edge_scores(metric, q_l, k_l, eq_loc[my], ek_l[0, my],
+                           em_l[0, my], sigma, gamma, cov_inv, neg)
+        m1, l1 = _fold_scores(s_d, eq_loc[my], em_l[0, my], m0, l0,
+                              None, per, neg)
+
+        def body_a(carry, step):
+            m, l, kc = carry
+            kc = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
+            src = jax.lax.rem(my - step + g, g)
+            s_e = _edge_scores(metric, q_l, kc, eq_loc[src],
+                               ek_l[0, src], em_l[0, src], sigma, gamma,
+                               cov_inv, neg)
+            m, l = _fold_scores(s_e, eq_loc[src], em_l[0, src], m, l,
+                                None, per, neg)
+            return (m, l, kc), 0
+
+        (m1, l1, _), _ = jax.lax.scan(body_a, (m1, l1, kb),
+                                      jnp.arange(1, g))
+
+        # pass B: second softmax over w_e + bias_e
+        kp1 = None if keep_l is None else keep_l[0, :, 0, my]
+        kp2 = None if keep_l is None else keep_l[1, :, 0, my]
+        m2, l2, acc = _fold_biased_chunk(
+            metric, q_l, k_l, v_l, eq_loc[my], ek_l[0, my], em_l[0, my],
+            bias_l[0, my], m1, l1, m0, l0, acc0, per, sigma, gamma,
+            cov_inv, neg, keep1=kp1, keep2=kp2, keep_inv=inv)
+
+        def body_b(carry, step):
+            m, l, acc, kc, vc = carry
+            kc = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
+            vc = jax.lax.ppermute(vc, GRAPH_AXIS, perm)
+            src = jax.lax.rem(my - step + g, g)
+            k1 = None if keep_l is None else keep_l[0, :, 0, src]
+            k2 = None if keep_l is None else keep_l[1, :, 0, src]
+            m, l, acc = _fold_biased_chunk(
+                metric, q_l, kc, vc, eq_loc[src], ek_l[0, src],
+                em_l[0, src], bias_l[0, src], m1, l1, m, l, acc, per,
+                sigma, gamma, cov_inv, neg, keep1=k1, keep2=k2,
+                keep_inv=inv)
+            return (m, l, acc, kc, vc), 0
+
+        (m2, l2, acc, _, _), _ = jax.lax.scan(
+            body_b, (m2, l2, acc, kb, vb), jnp.arange(1, g))
+        denom = jnp.where(l2 > 0, l2, 1.0)
+        return acc / denom[..., None]
+
     rep = P()
+    base = (node_spec, node_spec, node_spec,
+            edge_spec, edge_spec, edge_spec)
+    if biased:
+        specs = base + (edge_spec, bnd_spec, rep, rep, rep)
+        if dropout_rate > 0.0:
+            specs = specs + (keep2_spec,)
+        return jax.shard_map(local_biased, mesh=mesh, in_specs=specs,
+                             out_specs=node_spec)
+    specs = base + (bnd_spec, rep, rep, rep)
     if dropout_rate > 0.0:
-        return jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(node_spec, node_spec, node_spec,
-                      edge_spec, edge_spec, edge_spec, bnd_spec,
-                      rep, rep, rep, keep_spec),
-            out_specs=node_spec)
-    return jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(node_spec, node_spec, node_spec,
-                  edge_spec, edge_spec, edge_spec, bnd_spec,
-                  rep, rep, rep),
-        out_specs=node_spec)
+        specs = specs + (keep_spec,)
+    return jax.shard_map(local, mesh=mesh, in_specs=specs,
+                         out_specs=node_spec)
 
 
 def boundary_traffic_report(N: int, num_shards: int, Bp: int, H: int,

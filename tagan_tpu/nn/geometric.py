@@ -372,7 +372,9 @@ class GeometricAttention:
         (SnapshotSequence.with_ring_plan adds them). In train mode the
         core receives an rng for per-edge attention dropout (normalized
         weights, like csr/flash) and output dropout applies here; edge
-        bias still raises at the model level."""
+        bias rides as a closure over the core (the model binds the
+        per-layer bias buckets via functools.partial — the biased ring
+        runs the dense path's double softmax in two passes)."""
         from ..dist.edge_partition import metric_placeholders
         identity = x
         h = M.layer_norm(p["ln1"], x) if self.use_layer_norm else x
@@ -497,6 +499,7 @@ class GraphAttention:
         x: jax.Array,                # [N, hidden]
         adj_mask: jax.Array,         # bool[N, N] incl. self loops & validity
         edge_features: Optional[jax.Array] = None,  # dense [N, N, hidden]
+        edge_presence: Optional[jax.Array] = None,  # bool[N, N] real edges
         *,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
@@ -505,7 +508,13 @@ class GraphAttention:
         bias = None
         if self.use_edge_bias and edge_features is not None:
             bias = M.linear(p["edge_bias"], edge_features)[..., 0]
-            bias = jnp.where(adj_mask, bias, 0.0)
+            # bias exists only where a REAL edge does: the implicit
+            # self loops the mask adds carry zero bias (otherwise
+            # linear(0-features) hands them the learned offset b,
+            # diverging from the csr/flash/ring per-edge convention)
+            bias = jnp.where(
+                adj_mask if edge_presence is None else edge_presence,
+                bias, 0.0)
         return self.inner(p["attn"], x, attention_mask=adj_mask,
                           geometric_bias=bias, deterministic=deterministic,
                           rng=rng, return_weights=return_weights)

@@ -37,6 +37,7 @@ probabilities and leaves thresholding to callers (default 0.5).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -372,16 +373,19 @@ class TAGAN:
             else:
                 rs = None
 
-            def apply_one(xt, at, ef, rt, lp=lp):
-                return ga(lp, xt, at, ef, deterministic=deterministic,
+            def apply_one(xt, at, ef, ep, rt, lp=lp):
+                return ga(lp, xt, at, ef, ep,
+                          deterministic=deterministic,
                           rng=rt, return_weights=return_weights)
 
             if c.remat and not return_weights:
                 apply_one = jax.checkpoint(apply_one)
+            ep = seq.adj if edge_feats is not None else None
             in_axes = [0, 0, 0 if edge_feats is not None else None,
+                       0 if ep is not None else None,
                        0 if rs is not None else None]
             out = jax.vmap(apply_one, in_axes=tuple(in_axes))(
-                x, adj, edge_feats, rs)
+                x, adj, edge_feats, ep, rs)
             if return_weights:
                 x, w = out
                 if i == 0:
@@ -482,10 +486,11 @@ class TAGAN:
             raise ValueError(
                 "spatial_backend='ring' requires sequences built with "
                 "SnapshotSequence.with_ring_plan(num_shards)")
-        if want_edge_bias:
-            raise NotImplementedError(
-                "edge-feature bias is not implemented on the ring "
-                "backend; use spatial_backend='flash' or 'csr'")
+        if want_edge_bias and seq.ring_esrc is None:
+            raise ValueError(
+                "use_edge_features on the ring backend needs bucket "
+                "provenance — rebuild the plan with with_ring_plan() "
+                "(older plans lack ring_esrc)")
         from ..dist.edge_partition import (make_boundary_ring_attention,
                                            make_ring_attention)
         from ..dist.mesh import GRAPH_AXIS
@@ -512,31 +517,49 @@ class TAGAN:
             # reference circulate (with_ring_plan(boundary=True))
             ring_fn = make_boundary_ring_attention(
                 self.mesh, metric, c.num_heads, N, Dh,
-                dropout_rate=rate)
+                dropout_rate=rate, biased=want_edge_bias)
         else:
             ring_fn = make_ring_attention(self.mesh, metric, c.num_heads,
-                                          N, Dh, dropout_rate=rate)
+                                          N, Dh, dropout_rate=rate,
+                                          biased=want_edge_bias)
         ga = self.graph_attention
+        ea_bias = (M.linear(p["edge_embedding"], seq.edge_attr)
+                   if want_edge_bias else None)   # [T, E, hidden]
 
         def one_step(args):
-            xt, eq, ek, em, nm, bidx, rt = args
+            xt, eq, ek, em, nm, bidx, esrc, ea_t, rt = args
 
-            def core(qh, kh, vh, sig, gam, cov, r_att):
+            def core(qh, kh, vh, sig, gam, cov, r_att, bias=None):
                 extra = (bidx,) if halo else ()
+                pre = () if bias is None else (bias,)
                 if r_att is not None:
+                    # biased double-softmax drops twice (between the
+                    # softmaxes and on the final weights), so it draws
+                    # two keep masks — ops.sparse.edge_attention's order
+                    lead = (2, c.num_heads) if bias is not None \
+                        else (c.num_heads,)
                     keep = jax.random.bernoulli(
-                        r_att, 1.0 - c.dropout,
-                        (c.num_heads,) + tuple(eq.shape))
-                    return ring_fn(qh, kh, vh, eq, ek, em, *extra, sig,
-                                   gam, cov, keep)
-                return ring_fn(qh, kh, vh, eq, ek, em, *extra, sig, gam,
-                               cov)
+                        r_att, 1.0 - c.dropout, lead + tuple(eq.shape))
+                    return ring_fn(qh, kh, vh, eq, ek, em, *pre, *extra,
+                                   sig, gam, cov, keep)
+                return ring_fn(qh, kh, vh, eq, ek, em, *pre, *extra,
+                               sig, gam, cov)
 
             sk = xt
             for i in range(c.num_layers):
                 lp = p["geometric_layers"][f"layer_{i}"]
                 ri = None if rt is None else jax.random.fold_in(rt, i)
-                xt = ga.inner.apply_ring(lp["attn"], xt, core, nm,
+                core_i = core
+                if ea_t is not None and "edge_bias" in lp:
+                    # per-layer head-shared scalar bias per edge,
+                    # gathered into the ring buckets through the plan's
+                    # provenance (-1 = self loop/padding -> bias 0,
+                    # matching the dense diagonal / csr self-loop slots)
+                    b_all = M.linear(lp["edge_bias"], ea_t)[..., 0]
+                    safe = jnp.clip(esrc, 0, b_all.shape[0] - 1)
+                    b_buckets = jnp.where(esrc >= 0, b_all[safe], 0.0)
+                    core_i = functools.partial(core, bias=b_buckets)
+                xt = ga.inner.apply_ring(lp["attn"], xt, core_i, nm,
                                          deterministic=ri is None,
                                          rng=ri)
                 if i == 0:
@@ -549,7 +572,9 @@ class TAGAN:
         if c.remat:
             one_step = jax.checkpoint(one_step)
         args = [x, seq.ring_eq, seq.ring_ek, seq.ring_em, seq.node_mask,
-                seq.ring_bnd_idx, step_rngs]
+                seq.ring_bnd_idx,
+                seq.ring_esrc if want_edge_bias else None, ea_bias,
+                step_rngs]
         present = [a is not None for a in args]
         packed = tuple(a for a in args if a is not None)
 

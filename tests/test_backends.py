@@ -230,3 +230,30 @@ def test_flash_edge_bias_matches_dense(monkeypatch):
     gb = g["geometric_layers"]["layer_0"]["edge_bias"]["w"]
     assert float(jnp.sum(jnp.abs(gb))) > 0
     assert np.all(np.isfinite(np.asarray(gb)))
+
+
+def test_bf16_matmul_numerics_close_to_f32():
+    """bf16_matmul (the measured bench.py step_ms_10k_bf16 config):
+    logits stay close to the f32 pipeline — quantifies the numerics
+    delta the bf16 headline trades for speed (VERDICT r2 item 5).
+    Params/accumulation remain fp32; only matmul inputs round."""
+    data = create_synthetic_data(
+        num_samples=2, sequence_length=4, num_nodes_range=(10, 14),
+        node_feature_dim=8, edge_feature_dim=0, seed=11)
+    T, N, E, _ = tt.pad_dims_for([s for s, _ in data])
+    seqs = [tt.build_sequence(s, max_nodes=N, max_edges=max(E, 1),
+                              max_time=T) for s, _ in data]
+    base = tt.TAGANConfig(hidden_dim=32, num_heads=4, num_layers=2,
+                          node_feature_dim=8, output_dim=1,
+                          loss_type="bce", dropout=0.0,
+                          spatial_backend="flash")
+    f32 = TAGAN(base)
+    b16 = TAGAN(base.replace(bf16_matmul=True))
+    params = f32.init(jax.random.key(0))
+    for seq in seqs:
+        lo = jax.jit(lambda p, s: f32(p, s).logits)(params, seq)
+        lb = jax.jit(lambda p, s: b16(p, s).logits)(params, seq)
+        assert np.all(np.isfinite(np.asarray(lb)))
+        # bf16 has ~8 mantissa bits: logits agree to ~1e-2 absolute
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(lo),
+                                   rtol=0.05, atol=0.05)
