@@ -245,6 +245,14 @@ def part_c_hybrid(quick=False):
         "occupied_slots": S, "slots_of_full": n_blocks_full,
         "mask_store_mb": round(mask_mb, 1),
         "residual_edges_per_snapshot": res_edges // T,
+        # scatter-free padded-degree residual (round-3): dmax/dmax_t
+        # bound the gather tables; no segment scatter anywhere
+        "residual_layout": "padded" if seq.hyb_res_pad is not None
+        else "coo",
+        "residual_dmax": int(seq.hyb_res_pad[0].shape[-1])
+        if seq.hyb_res_pad is not None else None,
+        "residual_dmax_t": int(seq.hyb_res_pad[2].shape[-1])
+        if seq.hyb_res_pad is not None else None,
         "host_prep_s": round(host_s, 1),
         "ms_per_step": round(dt * 1e3, 1),
         "edges_per_s": round(E * T / dt, 0),

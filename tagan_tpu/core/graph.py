@@ -89,6 +89,12 @@ class SnapshotSequence:
     hyb_plan: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
     hyb_plan_t: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
     hyb_res: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
+    # padded-degree residual layout (scatter-free TPU path,
+    # ops.sparse.edge_attention_partial_padded): per snapshot,
+    # (nbr i32[T, N, dmax], nval bool, inc i32[T, N, dmax_t],
+    #  inc_slot i32[T, N, dmax_t], ival bool)
+    hyb_res_pad: Optional[Tuple[jax.Array, jax.Array, jax.Array,
+                                jax.Array, jax.Array]] = None
 
     @property
     def num_steps(self) -> int:
@@ -341,6 +347,19 @@ class SnapshotSequence:
             req[t, :cntr] = src[t][r]
             rek[t, :cntr] = dst[t][r]
             rem[t, :cntr] = True
+        # padded-degree residual tables (scatter-free partial): one
+        # static (dmax, dmax_t) across snapshots via a sizing pass
+        dmax = dmax_t = 1
+        for t in range(T):
+            r = res_sel[t]
+            if r.any():
+                dmax = max(dmax, int(np.bincount(
+                    src[t][r], minlength=N).max()))
+                dmax_t = max(dmax_t, int(np.bincount(
+                    dst[t][r], minlength=N).max()))
+        pads = [pad_residual_edges(req[t], rek[t], rem[t], N,
+                                   dmax=dmax, dmax_t=dmax_t)
+                for t in range(T)]
         return dataclasses.replace(
             self,
             hyb_mask_blocks=jnp.asarray(mask_blocks),
@@ -348,7 +367,62 @@ class SnapshotSequence:
             hyb_plan_t=(jnp.asarray(il), jnp.asarray(ic),
                         jnp.asarray(isl)),
             hyb_res=(jnp.asarray(req), jnp.asarray(rek),
-                     jnp.asarray(rem)))
+                     jnp.asarray(rem)),
+            hyb_res_pad=tuple(
+                jnp.asarray(np.stack([p[i] for p in pads]))
+                for i in range(5)))
+
+
+def pad_residual_edges(eq: np.ndarray, ek: np.ndarray, em: np.ndarray,
+                       num_nodes: int, dmax: Optional[int] = None,
+                       dmax_t: Optional[int] = None):
+    """Host-side: COO edges -> padded-degree tables for the scatter-free
+    residual partial (`ops.sparse.edge_attention_partial_padded`).
+
+    Returns (nbr i32[N, dmax], nval bool, inc i32[N, dmax_t],
+    inc_slot i32[N, dmax_t], ival bool): nbr lists each query's key
+    nodes; inc lists each key's incident *query* nodes, and inc_slot
+    that edge's slot in the query table (so a dropout keep mask drawn
+    in the query layout is readable from the key walk). Padded slots
+    point at node 0 with valid=False."""
+    eq = np.asarray(eq)
+    ek = np.asarray(ek)
+    em = np.asarray(em).astype(bool)
+    vq, vk = eq[em], ek[em]
+    order = np.argsort(vq, kind="stable")
+    sq, sk = vq[order], vk[order]
+    counts = np.bincount(sq, minlength=num_nodes)
+    if dmax is None:
+        dmax = max(1, int(counts.max(initial=0)))
+    elif counts.max(initial=0) > dmax:
+        raise ValueError(
+            f"query {int(np.argmax(counts))} has {int(counts.max())} "
+            f"residual edges > dmax={dmax}")
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(sq)) - starts[sq]
+    nbr = np.zeros((num_nodes, dmax), np.int32)
+    nval = np.zeros((num_nodes, dmax), bool)
+    nbr[sq, pos] = sk
+    nval[sq, pos] = True
+    # transposed table, carrying each edge's query-layout slot
+    order2 = np.argsort(sk, kind="stable")
+    tq, tk, tslot = sq[order2], sk[order2], pos[order2]
+    counts2 = np.bincount(tk, minlength=num_nodes)
+    if dmax_t is None:
+        dmax_t = max(1, int(counts2.max(initial=0)))
+    elif counts2.max(initial=0) > dmax_t:
+        raise ValueError(
+            f"key {int(np.argmax(counts2))} has {int(counts2.max())} "
+            f"residual edges > dmax_t={dmax_t}")
+    starts2 = np.concatenate([[0], np.cumsum(counts2)[:-1]])
+    pos2 = np.arange(len(tk)) - starts2[tk]
+    inc = np.zeros((num_nodes, dmax_t), np.int32)
+    inc_slot = np.zeros((num_nodes, dmax_t), np.int32)
+    ival = np.zeros((num_nodes, dmax_t), bool)
+    inc[tk, pos2] = tq
+    inc_slot[tk, pos2] = tslot
+    ival[tk, pos2] = True
+    return nbr, nval, inc, inc_slot, ival
 
 
 # ---------------------------------------------------------------------------

@@ -282,6 +282,9 @@ class GeometricAttention:
         block_m: int = 512,
         block_n: int = 1024,
         bf16: bool = False,
+        res_pad=None,   # optional padded-degree tables (nbr, nval,
+                        # inc, inc_slot, ival) — the scatter-free
+                        # residual path; COO args are ignored when set
     ) -> jax.Array:
         """Hybrid backend for very large graphs with locality (the
         post-RCM band structure, `core.graph.build_sequence(
@@ -337,10 +340,17 @@ class GeometricAttention:
             block_m=block_m, block_n=block_n, bf16=bf16,
             plan=band_plan, plan_t=band_plan_t,
             dropout_rate=att_rate, dropout_seed=band_seed)
-        res = S2.edge_attention_partial(
-            metric, q, k, v, res_eq, res_ek, res_em, x.shape[-2],
-            sigma=sigma, gamma=gamma,
-            dropout_rate=att_rate, dropout_rng=r_res)
+        if res_pad is not None:
+            nbr, nval, inc, inc_slot, ival = res_pad
+            res = S2.edge_attention_partial_padded(
+                metric, q, k, v, nbr, nval, inc, inc_slot, ival,
+                sigma=sigma, gamma=gamma,
+                dropout_rate=att_rate, dropout_rng=r_res)
+        else:
+            res = S2.edge_attention_partial(
+                metric, q, k, v, res_eq, res_ek, res_em, x.shape[-2],
+                sigma=sigma, gamma=gamma,
+                dropout_rate=att_rate, dropout_rng=r_res)
         ctx, _ = S2.merge_attention_partials([band, res])
         ctx = self._merge_heads(ctx)
         ctx = M.linear(p["o"], ctx)

@@ -434,14 +434,16 @@ class TAGAN:
         else:
             step_rngs = None
 
+        padded = seq.hyb_res_pad is not None
+
         def one_step(args):
-            if step_rngs is None:
-                (xt, mb, jl, jc, js, il, ic, isl, req, rek, rem,
-                 nm) = args
-                rt = None
-            else:
-                (xt, mb, jl, jc, js, il, ic, isl, req, rek, rem, nm,
-                 rt) = args
+            it = iter(args)
+            xt, mb, jl, jc, js, il, ic, isl = (next(it) for _ in
+                                               range(8))
+            req, rek, rem = (next(it) for _ in range(3))
+            rp = tuple(next(it) for _ in range(5)) if padded else None
+            nm = next(it)
+            rt = next(it) if step_rngs is not None else None
             sk = xt
             for i in range(c.num_layers):
                 lp = p["geometric_layers"][f"layer_{i}"]
@@ -450,7 +452,7 @@ class TAGAN:
                     lp["attn"], xt, mb, (jl, jc, js), (il, ic, isl),
                     req, rek, rem, nm, deterministic=ri is None,
                     rng=ri, block_m=BM, block_n=BN,
-                    bf16=c.bf16_matmul)
+                    bf16=c.bf16_matmul, res_pad=rp)
                 if i == 0:
                     if c.use_layer_norm:
                         xt = xt + M.layer_norm(p["skip_layer_norm"], sk)
@@ -461,7 +463,10 @@ class TAGAN:
         if c.remat:
             one_step = jax.checkpoint(one_step)
         args = (x, seq.hyb_mask_blocks, *seq.hyb_plan, *seq.hyb_plan_t,
-                *seq.hyb_res, seq.node_mask)
+                *seq.hyb_res)
+        if padded:
+            args = args + tuple(seq.hyb_res_pad)
+        args = args + (seq.node_mask,)
         if step_rngs is not None:
             args = args + (step_rngs,)
         return jax.lax.map(one_step, args)

@@ -214,3 +214,171 @@ def add_self_loops(edge_q: jax.Array, edge_k: jax.Array, edge_mask: jax.Array,
     return (jnp.concatenate([edge_q, loops]),
             jnp.concatenate([edge_k, loops]),
             jnp.concatenate([edge_mask, node_mask]))
+
+
+# ---------------------------------------------------------------------------
+# Padded-degree residual partial (scatter-free: the TPU-native layout)
+# ---------------------------------------------------------------------------
+#
+# The COO `edge_attention_partial` pays per-edge segment_max/segment_sum
+# scatters, which serialize on TPU (~20 ns/update — they dominate the
+# hybrid backend's 131K-node step). The padded layout stores each
+# query's residual neighbors in a dense [N, dmax] table (and each key's
+# incident queries in [N, dmax_t]) so EVERY op is a gather or a dense
+# axis reduction: no scatter in forward OR backward (the backward uses
+# the transposed table, the same two-walk idea as the flash kernel's
+# dq vs dk/dv walks). Exactly equal to the COO partial; combine with
+# `merge_attention_partials` as usual.
+
+
+def _pp_exp(s, lse, valid, neg):
+    """Normalized weights exp(s - lse) with dead/padded rows sanitized
+    BEFORE the exp (a padded slot may gather a NEG_INF lse; exp of the
+    raw difference would overflow to inf and poison the 0-mask)."""
+    lse_safe = jnp.where(jnp.abs(lse) >= 1e29, 0.0, lse)
+    expo = jnp.where(valid, s - lse_safe, neg)
+    return jnp.exp(expo)
+
+
+def _pp_params3(sigma, gamma, cov_inv):
+    """edgewise_scores assumes [H, E] scores; the padded layout is
+    [H, N, dmax] — give the per-head params one extra broadcast axis."""
+    sg = None if sigma is None else sigma[..., None]
+    gm = None if gamma is None else gamma[..., None]
+    cv = None if cov_inv is None else cov_inv[:, None]
+    return sg, gm, cv
+
+
+def _pp_score_q(metric, q, k, nbr, sigma, gamma, cov_inv):
+    """Scores in the query layout: [H, N, dmax]."""
+    sg, gm, cv = _pp_params3(sigma, gamma, cov_inv)
+    k_e = jnp.take(k, nbr, axis=1)                  # [H, N, dmax, D]
+    q_b = jnp.broadcast_to(q[:, :, None, :], k_e.shape)
+    return edgewise_scores(metric, q_b, k_e, sigma=sg, gamma=gm,
+                           cov_inv=cv)
+
+
+def _pp_score_k(metric, q, k, inc, sigma, gamma, cov_inv):
+    """Scores in the key layout: [H, N, dmax_t] (row = key node)."""
+    sg, gm, cv = _pp_params3(sigma, gamma, cov_inv)
+    q_e = jnp.take(q, inc, axis=1)                  # [H, N, dmax_t, D]
+    k_b = jnp.broadcast_to(k[:, :, None, :], q_e.shape)
+    return edgewise_scores(metric, q_e, k_b, sigma=sg, gamma=gm,
+                           cov_inv=cv)
+
+
+def _padded_partial_impl(metric, q, k, v, nbr, nval, kappa, sigma,
+                         gamma, cov_inv):
+    neg = jnp.asarray(NEG_INF, q.dtype)
+    s = _pp_score_q(metric, q, k, nbr, sigma, gamma, cov_inv)
+    s = jnp.where(nval[None], s, neg)               # [H, N, dmax]
+    m = jnp.max(s, axis=-1)                         # [H, N]
+    dead = m <= neg * 0.5
+    m_safe = jnp.where(dead, 0.0, m)
+    e = jnp.exp(s - m_safe[..., None]) * nval[None]
+    l = jnp.sum(e, axis=-1)
+    l_safe = jnp.where(l == 0, 1.0, l)
+    p = e / l_safe[..., None]
+    v_e = jnp.take(v, nbr, axis=1)                  # [H, N, dmax, D]
+    out = jnp.sum((p * kappa)[..., None] * v_e, axis=-2)
+    lse = jnp.where(dead, neg, m_safe + jnp.log(l_safe))
+    return out, lse
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _padded_partial(metric, q, k, v, nbr, nval, inc, inc_slot, ival,
+                    kappa, sigma, gamma, cov_inv):
+    return _padded_partial_impl(metric, q, k, v, nbr, nval, kappa,
+                                sigma, gamma, cov_inv)
+
+
+def _padded_partial_fwd(metric, q, k, v, nbr, nval, inc, inc_slot,
+                        ival, kappa, sigma, gamma, cov_inv):
+    out, lse = _padded_partial_impl(metric, q, k, v, nbr, nval, kappa,
+                                    sigma, gamma, cov_inv)
+    res = (q, k, v, nbr, nval, inc, inc_slot, ival, kappa, sigma,
+           gamma, cov_inv, out, lse)
+    return (out, lse), res
+
+
+def _padded_partial_bwd(metric, res, cts):
+    (q, k, v, nbr, nval, inc, inc_slot, ival, kappa, sigma, gamma,
+     cov_inv, out, lse) = res
+    dout, dlse = cts
+    neg = jnp.asarray(NEG_INF, q.dtype)
+    delta = jnp.sum(dout * out, axis=-1)            # [H, N] = dout.out
+
+    # -- query walk: recompute scores, get ds -> (dq, dsigma, ...) ----
+    def score_q(qq, sg, gm, cv):
+        return _pp_score_q(metric, qq, k, nbr, sg, gm, cv)
+
+    s, vjp_q = jax.vjp(score_q, q, sigma, gamma, cov_inv)
+    p = _pp_exp(s, lse[..., None], nval[None], neg)     # normalized w
+    v_e = jnp.take(v, nbr, axis=1)
+    dv_dot = jnp.sum(dout[:, :, None, :] * v_e, axis=-1)  # dout_i.v_j
+    ds = p * (kappa * dv_dot - delta[..., None] + dlse[..., None])
+    ds = jnp.where(nval[None], ds, 0.0)
+    dq, dsigma, dgamma, dcov = vjp_q(ds)
+
+    # -- key walk: transposed table -> (dk, dv), no scatter -----------
+    def score_k(kk):
+        return _pp_score_k(metric, q, kk, inc, sigma, gamma, cov_inv)
+
+    s_t, vjp_k = jax.vjp(score_k, k)                # [H, N, dmax_t]
+    lse_i = jnp.take(lse, inc, axis=1)              # [H, N, dmax_t]
+    p_t = _pp_exp(s_t, lse_i, ival[None], neg)
+    kap_t = kappa[:, inc, inc_slot]                 # same edge's keep
+    dout_i = jnp.take(dout, inc, axis=1)            # [H, N, dmax_t, D]
+    delta_i = jnp.take(delta, inc, axis=1)
+    dlse_i = jnp.take(dlse, inc, axis=1)
+    pk = jnp.where(ival[None], p_t * kap_t, 0.0)
+    dv = jnp.sum(pk[..., None] * dout_i, axis=-2)   # [H, N, D] keys
+    qv_dot = jnp.sum(dout_i * v[:, :, None, :], axis=-1)   # dout_i.v_j
+    ds_t = p_t * (kap_t * qv_dot - delta_i + dlse_i)
+    ds_t = jnp.where(ival[None], ds_t, 0.0)
+    (dk,) = vjp_k(ds_t)
+
+    return (dq, dk, dv, None, None, None, None, None, None,
+            dsigma, dgamma, dcov)
+
+
+_padded_partial.defvjp(_padded_partial_fwd, _padded_partial_bwd)
+
+
+def edge_attention_partial_padded(
+    metric: str,
+    q: jax.Array, k: jax.Array, v: jax.Array,   # [H, N, D]
+    nbr: jax.Array, nval: jax.Array,            # i32/bool [N, dmax]
+    inc: jax.Array, inc_slot: jax.Array,        # i32 [N, dmax_t]
+    ival: jax.Array,                            # bool [N, dmax_t]
+    *,
+    sigma=None, gamma=None, cov_inv=None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+):
+    """`edge_attention_partial` on the padded-degree layout (see module
+    comment): returns the same ``(out [H, N, D], lse [H, N])``.
+    ``nbr``/``inc``/``inc_slot`` come from
+    `core.graph.pad_residual_edges`; dropout drops the normalized
+    weights (denominator keeps the full sum), identical to the COO
+    partial — the keep mask is drawn once in the query layout and the
+    backward reads the SAME mask through ``inc_slot``."""
+    H, N, D = q.shape
+    dmax = nbr.shape[1]
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep_p = 1.0 - dropout_rate
+        mk = jax.random.bernoulli(dropout_rng, keep_p, (H, N, dmax))
+        kappa = jnp.where(mk, 1.0 / keep_p, 0.0)
+    else:
+        kappa = jnp.ones((H, N, dmax), q.dtype)
+    if sigma is None:
+        sigma = jnp.ones((H,), q.dtype)
+    if gamma is None:
+        gamma = jnp.ones((H,), q.dtype)
+    if cov_inv is None:
+        cov_inv = jnp.broadcast_to(jnp.eye(D, dtype=q.dtype), (H, D, D))
+    return _padded_partial(metric, q, k, v, nbr, nval, inc, inc_slot,
+                           ival, kappa, sigma, gamma, cov_inv)

@@ -219,3 +219,104 @@ def test_hybrid_dropout_trains():
         deterministic=False, rng=jax.random.key(10)) ** 2))(params)
     flat, _ = jax.flatten_util.ravel_pytree(g)
     assert np.isfinite(np.asarray(flat)).all()
+
+
+@pytest.mark.parametrize("metric,learnable", [
+    ("scaled_dot_product", False), ("gaussian_kernel", True),
+    ("rbf_kernel", True)])
+def test_padded_partial_matches_coo(metric, learnable):
+    """The scatter-free padded-degree residual partial (custom VJP with
+    a transposed key walk) == the COO partial: out, lse, and grads
+    through q/k/v and the learnable metric params."""
+    from tagan_tpu.core.graph import pad_residual_edges
+    N, H, Dh = 60, 2, 8
+    src, dst, em, band, res, adj, nm = _split_edges(N=N, E=150, seed=13)
+    rng = np.random.default_rng(14)
+    q = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    sigma = jnp.asarray(rng.uniform(0.5, 1.5, H), jnp.float32) \
+        if learnable else None
+    eq = jnp.asarray(src, jnp.int32)
+    ek = jnp.asarray(dst, jnp.int32)
+    pads = pad_residual_edges(src, dst, res, N)
+    pads = tuple(jnp.asarray(p) for p in pads)
+    kw = dict(sigma=sigma) if metric == "gaussian_kernel" else (
+        dict(gamma=sigma) if metric == "rbf_kernel" else {})
+
+    def f_coo(q, k, v, sg):
+        kw2 = {kk: sg for kk in kw} if learnable else {}
+        out, lse = S.edge_attention_partial(
+            metric, q, k, v, eq, ek, jnp.asarray(res), N, **kw2)
+        live = jnp.abs(lse) < 1e29
+        return out, lse, jnp.sum(out ** 2) + jnp.sum(
+            jnp.where(live, lse, 0.0) ** 2)
+
+    def f_pad(q, k, v, sg):
+        kw2 = {kk: sg for kk in kw} if learnable else {}
+        out, lse = S.edge_attention_partial_padded(
+            metric, q, k, v, *pads, **kw2)
+        live = jnp.abs(lse) < 1e29
+        return out, lse, jnp.sum(out ** 2) + jnp.sum(
+            jnp.where(live, lse, 0.0) ** 2)
+
+    o1, l1, s1 = f_coo(q, k, v, sigma)
+    o2, l2, s2 = f_pad(q, k, v, sigma)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=1e-5, atol=1e-6)
+    live = np.abs(np.asarray(l1)) < 1e29
+    np.testing.assert_allclose(np.asarray(l2)[live],
+                               np.asarray(l1)[live], rtol=1e-5,
+                               atol=1e-6)
+    assert np.array_equal(np.abs(np.asarray(l2)) >= 1e29, ~live)
+    args = (0, 1, 2, 3) if learnable else (0, 1, 2)
+    g1 = jax.grad(lambda *a: f_coo(*a)[2] if learnable
+                  else f_coo(*a, None)[2], argnums=args)(
+        *( (q, k, v, sigma) if learnable else (q, k, v) ))
+    g2 = jax.grad(lambda *a: f_pad(*a)[2] if learnable
+                  else f_pad(*a, None)[2], argnums=args)(
+        *( (q, k, v, sigma) if learnable else (q, k, v) ))
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_padded_partial_dropout():
+    """Dropout on the padded partial: deterministic==no-drop baseline,
+    stochastic differs per rng, expectation ~= deterministic, grads
+    finite (the key walk reads the SAME keep mask via inc_slot)."""
+    from tagan_tpu.core.graph import pad_residual_edges
+    N, H, Dh = 40, 2, 8
+    src, dst, em, band, res, adj, nm = _split_edges(N=N, E=200, seed=17,
+                                                    width=3)
+    rng = np.random.default_rng(18)
+    q = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    pads = tuple(jnp.asarray(p)
+                 for p in pad_residual_edges(src, dst, res, N))
+
+    def run(r=None, rate=0.0):
+        out, _ = S.edge_attention_partial_padded(
+            "scaled_dot_product", q, k, v, *pads,
+            dropout_rate=rate, dropout_rng=r)
+        return out
+
+    det = run()
+    t1 = run(jax.random.key(1), 0.4)
+    t2 = run(jax.random.key(2), 0.4)
+    assert not np.allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
+    mean = np.mean([np.asarray(run(jax.random.key(i), 0.4))
+                    for i in range(300)], axis=0)
+    # unbiasedness as a global statement (per-element MC noise at 300
+    # draws makes pointwise bounds flaky on single-edge rows)
+    err = np.linalg.norm(mean - np.asarray(det))
+    assert err < 0.1 * np.linalg.norm(np.asarray(det)), err
+    g = jax.grad(lambda qq: jnp.sum(run(jax.random.key(3), 0.4) ** 2
+                                    + 0.0 * jnp.sum(qq)))(q)
+    g2 = jax.grad(lambda qq: jnp.sum(
+        S.edge_attention_partial_padded(
+            "scaled_dot_product", qq, k, v, *pads,
+            dropout_rate=0.4, dropout_rng=jax.random.key(3))[0] ** 2))(q)
+    assert np.all(np.isfinite(np.asarray(g2)))
+    assert float(jnp.sum(jnp.abs(g2))) > 0
