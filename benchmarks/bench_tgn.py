@@ -74,19 +74,20 @@ def main():
     # csr/flash: the sparse edge-bias paths — the dense backend would
     # build the [B, T, N, N, hidden] edge-feature tensor (23 GB here)
     backend = _os.environ.get("BACKEND", "csr")
-    # node_pooling="attention": the burst lives in ONE node of ~800 —
-    # mean pooling dilutes it into a degenerate all-positive classifier
-    # (round-2 result: specificity 0.0, AUC 0.58); the learned node
-    # scorer lets the readout find the needle
+    # Needle task (one bursting node among ~800 decides the label):
+    # measured round-3 ablations (N=842, 4 seeds each) — mean/attention
+    # feature pooling stall at the base rate (all-positive collapse,
+    # AUC~0.5); MAX pooling trains (held AUC 0.85-1.0) because the hard
+    # winner-takes-all routes the whole gradient to the burst node, but
+    # discovery is still init-seed-dependent, so the bench trains
+    # RESTARTS and picks by val ROC-AUC (collapse ~0.5 vs success ~1.0
+    # separates cleanly); dropout adds discovery noise on this needle
+    # and is off
     cfg = tt.TAGANConfig(
         hidden_dim=64, num_heads=4, num_layers=2, node_feature_dim=8,
         edge_feature_dim=Fe, use_edge_features=Fe > 0, output_dim=1,
-        loss_type="bce", dropout=0.05, learning_rate=3e-3,
-        node_pooling="attention", spatial_backend=backend)
-    exp = tt.ExperimentConfig(model=cfg, batch_size=8,
-                              num_epochs=EPOCHS, checkpoint_dir="",
-                              early_stopping_patience=EPOCHS + 1)
-    trainer = TAGANTrainer(tt.TAGAN(cfg), exp)
+        loss_type="bce", dropout=0.0, learning_rate=3e-3,
+        node_pooling="max", spatial_backend=backend)
     train_loader = TemporalGraphDataLoader(train_ds, shuffle=True,
                                            seed=0, **kw)
     val_loader = TemporalGraphDataLoader(val_ds, **kw)
@@ -99,29 +100,46 @@ def main():
                               max_time=Tm, edge_feature_dim=Fe)
             for x in train_ds.sequences))
 
-    import tempfile
-    ckdir = tempfile.mkdtemp(prefix="tgn_ck_")
-    t0 = time.time()
-    res = trainer.train(train_loader, val_loader, num_epochs=EPOCHS,
-                        checkpoint_dir=ckdir, verbose=True)
-    dt = time.time() - t0
-    # evaluate the best-val-F1 checkpoint, not the final epoch
-    best = _os.path.join(ckdir, "best_model.ckpt")
-    if _os.path.exists(best):
-        trainer.load_checkpoint(best)
-
     def _labels_of(loader):
         out = []
         for item in loader:
             out.append(np.asarray(item[1])[np.asarray(item[-1])])
         return np.concatenate(out)
 
+    from tagan_tpu.train.metrics import calculate_metrics
+    import tempfile
+    val_labels = _labels_of(val_loader)
+    RESTARTS = 1 if QUICK else 3
+    t0 = time.time()
+    best = None
+    restart_aucs = []
+    for r in range(RESTARTS):
+        exp = tt.ExperimentConfig(model=cfg, batch_size=8,
+                                  num_epochs=EPOCHS, checkpoint_dir="",
+                                  early_stopping_patience=EPOCHS + 1,
+                                  seed=r)
+        trainer = TAGANTrainer(tt.TAGAN(cfg), exp)
+        ckdir = tempfile.mkdtemp(prefix=f"tgn_ck{r}_")
+        res = trainer.train(train_loader, val_loader,
+                            num_epochs=EPOCHS, checkpoint_dir=ckdir,
+                            verbose=True)
+        # evaluate the best-val-F1 checkpoint, not the final epoch
+        bp = _os.path.join(ckdir, "best_model.ckpt")
+        if _os.path.exists(bp):
+            trainer.load_checkpoint(bp)
+        val_preds = trainer.predict(val_loader)
+        auc = calculate_metrics(val_preds, val_labels,
+                                threshold=0.5)["roc_auc"]
+        restart_aucs.append(round(float(auc), 4))
+        print(f"restart {r}: val AUC {auc:.4f}", flush=True)
+        if best is None or auc > best[0]:
+            best = (auc, trainer, res, val_preds)
+    dt = time.time() - t0
+    _, trainer, res, val_preds = best
+
     # decision threshold tuned on VAL F1 (the reference leaves four
     # inconsistent hardcoded thresholds around, B8; tuning on val is the
     # principled version), then applied to test
-    from tagan_tpu.train.metrics import calculate_metrics
-    val_preds = trainer.predict(val_loader)
-    val_labels = _labels_of(val_loader)
     ths = np.linspace(0.05, 0.95, 19)
     f1s = [calculate_metrics(val_preds, val_labels, threshold=t)["f1"]
            for t in ths]
@@ -141,8 +159,11 @@ def main():
         "padded_dims": {"T": Tm, "N": Nm, "E": Em},
         "train_events_per_epoch": ev_per_epoch,
         "epochs": EPOCHS,
+        "restarts": RESTARTS,
+        "restart_val_aucs": restart_aucs,
         "train_seconds": round(dt, 1),
-        "events_per_sec_train": round(ev_per_epoch * EPOCHS / dt, 0),
+        "events_per_sec_train": round(
+            ev_per_epoch * EPOCHS * RESTARTS / dt, 0),
         "best_val_f1": round(res["best_metric"], 4),
         "test": {k: round(float(v), 4) for k, v in test_metrics.items()},
     }

@@ -96,6 +96,12 @@ class TAGANConfig:
     # "attention" (learned Linear-tanh-Linear(1) scorer over nodes) are
     # first-class here — needle-in-haystack labels (one active node
     # among ~1K, e.g. the TGN state-change task) die under mean pooling.
+    # "logit" skips feature pooling entirely: the head runs PER NODE
+    # and the graph logit is the max over node logits (the
+    # multiple-instance / noisy-OR readout; also exposes which node
+    # fired). On needle tasks both max variants train on most init
+    # seeds while mean/attention stall at the base rate; pair with
+    # val-based restarts for robustness (bench_tgn.py).
     node_pooling: str = "mean"
 
     # ---- TPU-native fields (no reference analog) ----
@@ -173,9 +179,11 @@ class TAGANConfig:
                              "'flash', 'ring', or 'hybrid'")
         if self.compat_mode not in ("intended", "executed"):
             raise ValueError("compat_mode must be 'intended' or 'executed'")
-        if self.node_pooling not in ("mean", "max", "attention"):
-            raise ValueError("node_pooling must be 'mean', 'max', or "
-                             f"'attention', got {self.node_pooling}")
+        if self.node_pooling not in ("mean", "max", "attention",
+                                     "logit"):
+            raise ValueError("node_pooling must be 'mean', 'max', "
+                             "'attention', or 'logit', got "
+                             f"{self.node_pooling}")
 
     # -- reference rule for the geometric metric (model.py:80) -----------
     @property

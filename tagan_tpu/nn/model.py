@@ -696,6 +696,39 @@ class TAGAN:
         else:
             nt, temp_weights = res, None
 
+        # step 5 (alternative): per-node readout, a.k.a. MIL / noisy-OR
+        # (node_pooling="logit"): the head runs PER NODE and the graph
+        # logit is the max over node logits — the standard
+        # multiple-instance reduction for "does any node exhibit X"
+        # labels, and the readout that exposes WHICH node fired.
+        # Measured caveat (TGN churn-burst config, N=842): needle
+        # discovery is init-seed-dependent under every pooling
+        # (mean/attention stall at the base rate; max-feature and
+        # max-logit succeed on most seeds) — for needle tasks pair any
+        # max-style readout with val-based restarts (bench_tgn.py).
+        if not executed and c.node_pooling == "logit":
+            head = self.classification_head
+            nmask = seq.node_mask                       # [T, N]
+            valid = jnp.any(nmask, axis=0)              # [N]
+            # per-node time mask: only the steps the node is active in
+            # (its absent steps hold zero features); never-active slots
+            # get an all-True mask so the head stays finite, and are
+            # dropped from the pool below
+            tm = (seq.time_mask[None, :] & nmask.T) | (~valid[:, None])
+            node_logits = head(p["classification_head"], nt, tm,
+                               deterministic=deterministic, rng=r_head)
+            neg = jnp.asarray(-1e30, node_logits.dtype)
+            masked = jnp.where(valid[:, None], node_logits, neg)
+            # HARD max, not logsumexp: soft pooling spreads the
+            # gradient 1/N per node and re-creates the attention-pool
+            # plateau (measured AUC ~0.5 on the burst task); the hard
+            # max routes the whole gradient to the winning node, the
+            # same credit assignment that makes max feature pooling
+            # train
+            logits = jnp.max(masked, axis=0)            # [C]
+            return self._output(labels, logits, new_memory,
+                                geo_weights, temp_weights)
+
         # step 5: node -> graph pooling per timestep
         if executed:
             # reference view(T, -1, H) reinterpretation + unmasked mean
@@ -736,14 +769,20 @@ class TAGAN:
         logits = head(p["classification_head"], graph_feats, time_mask,
                       deterministic=deterministic, rng=r_head)
         logits = logits[0]                             # [output_dim]
+        return self._output(labels, logits, new_memory, geo_weights,
+                            temp_weights)
 
+    def _output(self, labels, logits, new_memory, geo_weights,
+                temp_weights) -> TAGANOutput:
+        """Loss + prediction assembly shared by the pooled and
+        per-node-readout head paths."""
         loss = None
         if labels is not None:
             labels_f = labels.astype(jnp.float32) \
                 if labels.dtype == bool else labels
             loss = self.compute_loss(logits, labels_f)
 
-        if c.output_dim == 1:
+        if self.config.output_dim == 1:
             predictions = jax.nn.sigmoid(logits)
         else:
             predictions = jax.nn.softmax(logits, axis=-1)

@@ -77,9 +77,10 @@ def test_sequences_feed_model(stream):
 
 
 def test_node_pooling_variants():
-    """node_pooling mean/max/attention all run; attention/max actually
-    change the readout (the mean is the reference's hardwired pooling,
-    model.py:377-427)."""
+    """node_pooling mean/max/attention/logit all run; the non-mean
+    variants actually change the readout (the mean is the reference's
+    hardwired pooling, model.py:377-427; "logit" is the per-node
+    MIL readout)."""
     import jax
     import jax.numpy as jnp
     from tagan_tpu.nn.model import TAGAN
@@ -92,7 +93,7 @@ def test_node_pooling_variants():
              for t in range(T)]
     seq = tt.build_sequence(snaps, max_nodes=N, max_edges=40, max_time=T)
     outs = {}
-    for pool in ("mean", "max", "attention"):
+    for pool in ("mean", "max", "attention", "logit"):
         cfg = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=1,
                              node_feature_dim=F, output_dim=1,
                              loss_type="bce", dropout=0.0,
@@ -110,6 +111,7 @@ def test_node_pooling_variants():
         outs[pool] = float(out.logits[0])
     assert outs["mean"] != outs["max"]
     assert outs["mean"] != outs["attention"]
+    assert outs["mean"] != outs["logit"]
 
 
 def test_needle_task_not_all_positive_with_attention_pooling():
