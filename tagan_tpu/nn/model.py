@@ -256,8 +256,12 @@ class TAGAN:
                 # 256-row blocks when edge bias is active: the biased
                 # backward's combined delta1+dB walk carries two extra
                 # [BM, BN] f32 buffers (bias in, dbias out) and blows
-                # the 16 MB VMEM budget at 512x1024 (measured on v5e)
-                BM = 256 if want_edge_bias else 512
+                # the 16 MB VMEM budget at 512x1024 (measured on v5e).
+                # Same rule under bf16_matmul: the backward walks keep
+                # f32 block windows AND bf16 casts of the [BM, BN]
+                # operands live for the MXU, and the dk/dv walk exceeds
+                # scoped VMEM at 512x1024 (measured 17.75M on v5e)
+                BM = 256 if (want_edge_bias or c.bf16_matmul) else 512
                 BN = 1024
 
                 def _mask_and_plans(eq, ek, em, nm, adj_t):

@@ -46,6 +46,12 @@ the 10K headline geometry (block 512x1024) the working set exceeds the
 chip's 16 MB scoped-VMEM limit (measured 17.77 MB on v5e), so auto
 selects the two-walk path there.
 
+bf16 geometry caveat: with ``bf16=True`` the backward walks keep the
+f32 block windows AND live bf16 casts of the [BM, BN] operands for the
+MXU, so even the two-walk dk/dv kernel exceeds scoped VMEM at block
+512x1024 (measured 17.75 MB on v5e) — use block_m <= 256 for bf16
+backward passes (nn/model.py's flash branch applies this rule).
+
 **Attention dropout** (the reference's softmax-weight dropout,
 `geometric_attention.py:474-516`) runs *inside* the kernel: a
 counter-based hash PRNG keyed on (seed, head, global row, global col)
