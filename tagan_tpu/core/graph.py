@@ -237,7 +237,8 @@ class SnapshotSequence:
     def with_hybrid_plan(self, band_width: Optional[int] = None,
                          block_m: int = 512, block_n: int = 1024,
                          pack: Optional[bool] = None,
-                         band_quantile: float = 0.95
+                         band_quantile: float = 0.95,
+                         padded_residual: Optional[bool] = None
                          ) -> "SnapshotSequence":
         """Attach the band + residual split consumed by
         ``spatial_backend="hybrid"`` (host-side, numpy). Edges within
@@ -254,7 +255,15 @@ class SnapshotSequence:
         ``band_width=None`` picks the ``band_quantile`` quantile of
         |src − dst| over all valid edges. ``pack=None`` bit-packs the
         mask store 8x whenever block_n is 1024-divisible (the packed
-        lane-dim legality rule)."""
+        lane-dim legality rule).
+
+        ``padded_residual`` controls the scatter-free padded-degree
+        residual tables ([T, N, dmax]): ``True`` always builds them,
+        ``False`` keeps the O(E) COO residual only, ``None`` (default)
+        builds them unless a residual hub node inflates the tables far
+        beyond the COO cost crossover (N * dmax > 64 * Er — one
+        high-degree off-band node would otherwise cost N*hub_degree
+        table entries for an O(E)-sized edge set)."""
         N = self.max_nodes
         bm, bn = block_m, block_n
         Np = ((N + max(bm, bn) - 1) // max(bm, bn)) * max(bm, bn)
@@ -357,9 +366,24 @@ class SnapshotSequence:
                     src[t][r], minlength=N).max()))
                 dmax_t = max(dmax_t, int(np.bincount(
                     dst[t][r], minlength=N).max()))
-        pads = [pad_residual_edges(req[t], rek[t], rem[t], N,
-                                   dmax=dmax, dmax_t=dmax_t)
-                for t in range(T)]
+        build_pad = padded_residual
+        if build_pad is None:
+            # hub guard (ADVICE r3): a single high-degree off-band node
+            # makes the [N, dmax] tables N*hub_degree entries for an
+            # Er-sized edge set. The COO path pays ~20 ns per serialized
+            # scatter update (~50 vector-elements of work per edge), so
+            # padded wins until its table is ~64x the edge count — a
+            # Poisson-tail dmax on a hub-free graph (N*dmax ~ 10*Er at
+            # the 131K bench) stays padded, a true hub falls back
+            build_pad = N * max(dmax, dmax_t) <= 64 * Er
+        pads_stacked = None
+        if build_pad:
+            pads = [pad_residual_edges(req[t], rek[t], rem[t], N,
+                                       dmax=dmax, dmax_t=dmax_t)
+                    for t in range(T)]
+            pads_stacked = tuple(
+                jnp.asarray(np.stack([p[i] for p in pads]))
+                for i in range(5))
         return dataclasses.replace(
             self,
             hyb_mask_blocks=jnp.asarray(mask_blocks),
@@ -368,9 +392,7 @@ class SnapshotSequence:
                         jnp.asarray(isl)),
             hyb_res=(jnp.asarray(req), jnp.asarray(rek),
                      jnp.asarray(rem)),
-            hyb_res_pad=tuple(
-                jnp.asarray(np.stack([p[i] for p in pads]))
-                for i in range(5)))
+            hyb_res_pad=pads_stacked)
 
 
 def pad_residual_edges(eq: np.ndarray, ek: np.ndarray, em: np.ndarray,

@@ -223,11 +223,13 @@ def test_hybrid_dropout_trains():
 
 @pytest.mark.parametrize("metric,learnable", [
     ("scaled_dot_product", False), ("gaussian_kernel", True),
-    ("rbf_kernel", True)])
+    ("rbf_kernel", True), ("mahalanobis", True)])
 def test_padded_partial_matches_coo(metric, learnable):
     """The scatter-free padded-degree residual partial (custom VJP with
     a transposed key walk) == the COO partial: out, lse, and grads
-    through q/k/v and the learnable metric params."""
+    through q/k/v and the learnable metric params. The mahalanobis case
+    pins the cov_inv[:, None] broadcast helper (_pp_params3) and its
+    gradient path (ADVICE r3)."""
     from tagan_tpu.core.graph import pad_residual_edges
     N, H, Dh = 60, 2, 8
     src, dst, em, band, res, adj, nm = _split_edges(N=N, E=150, seed=13)
@@ -235,14 +237,21 @@ def test_padded_partial_matches_coo(metric, learnable):
     q = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
-    sigma = jnp.asarray(rng.uniform(0.5, 1.5, H), jnp.float32) \
-        if learnable else None
+    if metric == "mahalanobis":
+        # learnable PSD metric F^T F (what nn.geometric builds from its
+        # low-rank cov_factors)
+        f = rng.standard_normal((H, 4, Dh)).astype(np.float32)
+        sigma = jnp.asarray(np.einsum("hrd,hre->hde", f, f))
+    else:
+        sigma = jnp.asarray(rng.uniform(0.5, 1.5, H), jnp.float32) \
+            if learnable else None
     eq = jnp.asarray(src, jnp.int32)
     ek = jnp.asarray(dst, jnp.int32)
     pads = pad_residual_edges(src, dst, res, N)
     pads = tuple(jnp.asarray(p) for p in pads)
-    kw = dict(sigma=sigma) if metric == "gaussian_kernel" else (
-        dict(gamma=sigma) if metric == "rbf_kernel" else {})
+    kw = {"gaussian_kernel": dict(sigma=sigma),
+          "rbf_kernel": dict(gamma=sigma),
+          "mahalanobis": dict(cov_inv=sigma)}.get(metric, {})
 
     def f_coo(q, k, v, sg):
         kw2 = {kk: sg for kk in kw} if learnable else {}
@@ -320,3 +329,54 @@ def test_padded_partial_dropout():
             dropout_rate=0.4, dropout_rng=jax.random.key(3))[0] ** 2))(q)
     assert np.all(np.isfinite(np.asarray(g2)))
     assert float(jnp.sum(jnp.abs(g2))) > 0
+
+
+def test_with_hybrid_plan_hub_falls_back_to_coo():
+    """ADVICE r3: a residual hub node (one off-band node referenced by
+    most of the graph) must not inflate the padded-degree tables to
+    N*hub_degree entries — the auto rule skips hyb_res_pad and the model
+    runs the COO residual, still matching flash. padded_residual=True
+    forces the tables regardless."""
+    rng = np.random.default_rng(51)
+    # the hub owns every residual edge, so Er == dmax_t and the auto
+    # rule reduces to N > 64 — use N=128 to land clearly past it
+    N, T, F = 128, 2, 8
+    snaps = []
+    for t in range(T):
+        # band edges + a hub: node N-1 receives an off-band edge from
+        # almost every node
+        src_b = np.arange(N - 8)
+        dst_b = src_b + rng.integers(1, 4, N - 8)
+        src_h = np.arange(N - 16)
+        dst_h = np.full(N - 16, N - 1)
+        src = np.concatenate([src_b, src_h])
+        dst = np.concatenate([dst_b, dst_h])
+        snaps.append({"x": rng.standard_normal((N, F)).astype(np.float32),
+                      "edge_index": np.stack([src, dst]),
+                      "node_ids": list(range(N)), "timestep": float(t)})
+    seq = tt.build_sequence(snaps, max_nodes=N, max_edges=src.size,
+                            max_time=T)
+    auto = seq.with_hybrid_plan(band_width=4, block_m=16, block_n=16)
+    # hub degree ~ N-16 -> N*dmax ~ N*(N-16) >> 64*Er (Er ~ N-16)
+    assert auto.hyb_res_pad is None
+    forced = seq.with_hybrid_plan(band_width=4, block_m=16, block_n=16,
+                                  padded_residual=True)
+    assert forced.hyb_res_pad is not None
+
+    cfg = tt.TAGANConfig(hidden_dim=32, num_heads=2, num_layers=1,
+                         node_feature_dim=F, output_dim=1,
+                         loss_type="bce", dropout=0.0,
+                         spatial_backend="hybrid")
+    model = tt.TAGAN(cfg)
+    flash = tt.TAGAN(cfg.replace(spatial_backend="flash"))
+    params = model.init(jax.random.key(5))
+    lbl = jnp.asarray(1.0)
+    out_coo = model(params, auto, lbl)
+    out_pad = model(params, forced, lbl)
+    out_f = flash(params, auto, lbl)
+    np.testing.assert_allclose(np.asarray(out_coo.logits),
+                               np.asarray(out_f.logits),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_coo.logits),
+                               np.asarray(out_pad.logits),
+                               rtol=1e-4, atol=1e-5)

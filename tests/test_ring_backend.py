@@ -333,12 +333,14 @@ def test_ring_edge_bias_train_step_matches_dense():
                                    err_msg=str(ka))
 
 
-def test_ring_edge_bias_dropout():
+@pytest.mark.parametrize("boundary", [False, True])
+def test_ring_edge_bias_dropout(boundary):
     """Biased ring in train mode: two keep masks (between softmaxes +
     final weights) — stochastic forward differs per rng, eval matches
-    dense, grads finite."""
+    dense, grads finite. ``boundary=True`` pins the boundary-ring's
+    keep_l[0/1, :, 0, src] indexing under keep2_spec (ADVICE r3)."""
     seqs, labels, Fe = _edge_feature_setup(seed=41, num_samples=1)
-    seq = seqs[0].with_ring_plan(4)
+    seq = seqs[0].with_ring_plan(4, boundary=boundary)
     mesh = make_mesh(data=2, graph=4)
     cfg = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=2,
                          node_feature_dim=8, edge_feature_dim=Fe,
