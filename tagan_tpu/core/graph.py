@@ -77,6 +77,18 @@ class SnapshotSequence:
     # position in edge_attr[t] (-1 for self loops / padding) — lets the
     # ring backend gather per-edge feature bias values
     ring_esrc: Optional[jax.Array] = None
+    # flash-local ring structures (with_ring_plan(boundary=True), the
+    # default): the DIAGONAL bucket (each shard's local edges, the bulk
+    # on a local graph) as a per-shard compact occupied-block structure
+    # for the flash kernel — (mask i8[T, G, S, BM, BN],
+    # jl i32[T, G, n_i, W], jc, js, il i32[T, G, n_j, Wt], ic, isl) —
+    # and the OFF-DIAGONAL buckets as rectangular padded-degree tables
+    # against each source shard's boundary compaction —
+    # (nbr i32[T, G, G, per, dmax], nval, inc i32[T, G, G, Bp, dmax_t],
+    # inc_slot, ival). Consumed by
+    # dist.edge_partition.make_boundary_ring_flash_attention.
+    ring_flash_diag: Optional[Tuple[jax.Array, ...]] = None
+    ring_flash_off: Optional[Tuple[jax.Array, ...]] = None
     # hybrid band+residual plan (set by `with_hybrid_plan`, consumed by
     # ``spatial_backend="hybrid"``): per snapshot, the near-diagonal
     # BAND edges (incl. self loops) as a compact occupied-block mask
@@ -95,6 +107,14 @@ class SnapshotSequence:
     #  inc_slot i32[T, N, dmax_t], ival bool)
     hyb_res_pad: Optional[Tuple[jax.Array, jax.Array, jax.Array,
                                 jax.Array, jax.Array]] = None
+    # edge-feature provenance for the biased hybrid backend
+    # (ops.pallas.hybrid_biased): hyb_band_slot i32[T, E] maps each
+    # original edge to its occupied band block slot (-1 = residual /
+    # invalid — the model scatters per-layer bias values through it into
+    # the compact [S, BM, BN] bias store); hyb_res_bid i32[T, N, dmax]
+    # carries each padded residual slot's original edge id (-1 padding)
+    hyb_band_slot: Optional[jax.Array] = None
+    hyb_res_bid: Optional[jax.Array] = None
 
     @property
     def num_steps(self) -> int:
@@ -149,7 +169,10 @@ class SnapshotSequence:
     def with_ring_plan(self, num_shards: int,
                        max_edges_per_bucket: Optional[int] = None,
                        boundary: bool = False,
-                       max_boundary: Optional[int] = None
+                       max_boundary: Optional[int] = None,
+                       local_flash: Optional[bool] = None,
+                       local_block_m: Optional[int] = None,
+                       local_block_n: Optional[int] = None
                        ) -> "SnapshotSequence":
         """Attach the host-side edge partition consumed by
         ``spatial_backend="ring"``: per snapshot, bucket every valid
@@ -164,7 +187,16 @@ class SnapshotSequence:
         ``boundary=True`` additionally compacts each shard's boundary
         nodes (dist.edge_partition.make_boundary_plan) so the ring
         circulates only the rows other shards reference — per-hop
-        traffic x beta instead of the full shard."""
+        traffic x beta instead of the full shard.
+
+        With ``boundary=True``, ``local_flash`` (default on) also
+        builds the flash-local structures: each shard's DIAGONAL bucket
+        as a compact occupied-block structure (the local math then runs
+        through the flash Pallas kernel instead of COO segment folds)
+        and the off-diagonal buckets as rectangular padded-degree
+        tables against the source shard's boundary compaction
+        (scatter-free folds). ``local_block_m``/``n`` pick the kernel
+        block geometry (auto: 512x1024 clipped to the shard size)."""
         from ..dist.edge_partition import partition_edges_by_query_and_key
         N = self.max_nodes
         if N % num_shards != 0:
@@ -224,6 +256,11 @@ class SnapshotSequence:
                     max_boundary=max_boundary)
                 bnd_t.append(bidx)
                 ek_t[t] = ek_loc
+        rf_diag = rf_off = None
+        if boundary and (local_flash is None or local_flash):
+            rf_diag, rf_off = _ring_flash_structs(
+                eq_t, ek_t, em_t, N, num_shards, max_boundary,
+                local_block_m, local_block_n)
         return dataclasses.replace(
             self,
             ring_eq=jnp.asarray(np.stack(eq_t)),
@@ -231,7 +268,9 @@ class SnapshotSequence:
             ring_em=jnp.asarray(np.stack(em_t)),
             ring_bnd_idx=None if bnd_t is None
             else jnp.asarray(np.stack(bnd_t)),
-            ring_esrc=jnp.asarray(np.stack(es_t)))
+            ring_esrc=jnp.asarray(np.stack(es_t)),
+            ring_flash_diag=rf_diag,
+            ring_flash_off=rf_off)
 
 
     def with_hybrid_plan(self, band_width: Optional[int] = None,
@@ -299,19 +338,6 @@ class SnapshotSequence:
         Wj = max(max(int(o.sum(axis=1).max()) for o in occs), 1)
         Wi = max(max(int(o.sum(axis=0).max()) for o in occs), 1)
 
-        def _rows_plan(occ_mat, W):
-            R = occ_mat.shape[0]
-            cnt = occ_mat.sum(axis=1).astype(np.int32)
-            lst = np.zeros((R, W), np.int32)
-            for r in range(R):
-                idx = np.nonzero(occ_mat[r])[0].astype(np.int32)
-                if idx.size == 0:
-                    continue
-                take = idx[:W]
-                lst[r, :take.size] = take
-                lst[r, take.size:] = take[-1]
-            return lst, np.minimum(cnt, W)
-
         mws = bn // 8 if pack else bn
         mask_blocks = np.zeros((T, S, bm, mws), np.int8)
         jl = np.zeros((T, n_i, Wj), np.int32)
@@ -323,6 +349,8 @@ class SnapshotSequence:
         req = np.zeros((T, Er), np.int32)
         rek = np.zeros((T, Er), np.int32)
         rem = np.zeros((T, Er), bool)
+        res_ids = np.full((T, Er), -1, np.int64)
+        band_slot = np.full((T, src.shape[1]), -1, np.int32)
         for t in range(T):
             occ = occs[t]
             slot_flat = np.cumsum(occ.reshape(-1)).astype(np.int32) - 1
@@ -340,6 +368,11 @@ class SnapshotSequence:
             rows = np.concatenate([bs, d])
             cols = np.concatenate([bd, d])
             slot_e = slot_flat[(rows // bm) * n_j + cols // bn]
+            # per-edge provenance: each band edge's block slot (self
+            # loops excluded — they carry zero bias like the dense
+            # diagonal)
+            band_slot[t, np.nonzero(band_sel[t])[0]] = \
+                slot_e[:len(bs)]
             if pack:
                 # interleaved bit layout of ops.pallas._pack_mask:
                 # within a block's bn columns, col c -> bit c // (bn/8)
@@ -356,6 +389,7 @@ class SnapshotSequence:
             req[t, :cntr] = src[t][r]
             rek[t, :cntr] = dst[t][r]
             rem[t, :cntr] = True
+            res_ids[t, :cntr] = np.nonzero(r)[0]
         # padded-degree residual tables (scatter-free partial): one
         # static (dmax, dmax_t) across snapshots via a sizing pass
         dmax = dmax_t = 1
@@ -376,14 +410,16 @@ class SnapshotSequence:
             # Poisson-tail dmax on a hub-free graph (N*dmax ~ 10*Er at
             # the 131K bench) stays padded, a true hub falls back
             build_pad = N * max(dmax, dmax_t) <= 64 * Er
-        pads_stacked = None
+        pads_stacked = res_bid = None
         if build_pad:
             pads = [pad_residual_edges(req[t], rek[t], rem[t], N,
-                                       dmax=dmax, dmax_t=dmax_t)
+                                       dmax=dmax, dmax_t=dmax_t,
+                                       edge_ids=res_ids[t])
                     for t in range(T)]
             pads_stacked = tuple(
                 jnp.asarray(np.stack([p[i] for p in pads]))
                 for i in range(5))
+            res_bid = jnp.asarray(np.stack([p[5] for p in pads]))
         return dataclasses.replace(
             self,
             hyb_mask_blocks=jnp.asarray(mask_blocks),
@@ -392,12 +428,164 @@ class SnapshotSequence:
                         jnp.asarray(isl)),
             hyb_res=(jnp.asarray(req), jnp.asarray(rek),
                      jnp.asarray(rem)),
-            hyb_res_pad=pads_stacked)
+            hyb_res_pad=pads_stacked,
+            hyb_band_slot=jnp.asarray(band_slot),
+            hyb_res_bid=res_bid)
+
+
+def _ring_flash_structs(eq_t, ek_t, em_t, N, G, Bp,
+                        block_m=None, block_n=None):
+    """Host-side flash-local ring structures (with_ring_plan docstring):
+    per (t, shard) compact occupied-block structure for the diagonal
+    bucket (shard-local coordinates; ek already localized by
+    make_boundary_plan) + per (t, gq, gk!=gq) rectangular padded-degree
+    tables whose keys are positions into shard gk's boundary
+    compaction. All dims static via a sizing pass."""
+    per = N // G
+    T = len(eq_t)
+    bm = block_m or min(512, -(-per // 8) * 8)
+    bn = block_n or min(1024, -(-per // 128) * 128)
+    Np = -(-per // max(bm, bn)) * max(bm, bn)
+    n_i, n_j = Np // bm, Np // bn
+
+    occs = {}
+    S_l = W_l = Wt_l = dmax = dmax_t = 1
+    for t in range(T):
+        eqt, ekt, emt = (np.asarray(a) for a in
+                         (eq_t[t], ek_t[t], em_t[t]))
+        for g in range(G):
+            m = emt[g, g]
+            qloc = eqt[g, g][m] - g * per
+            kloc = ekt[g, g][m]
+            occ = np.zeros((n_i, n_j), bool)
+            occ[qloc // bm, kloc // bn] = True
+            occs[(t, g)] = occ
+            S_l = max(S_l, int(occ.sum()))
+            W_l = max(W_l, int(occ.sum(axis=1).max(initial=0)))
+            Wt_l = max(Wt_l, int(occ.sum(axis=0).max(initial=0)))
+            for gk in range(G):
+                if gk == g:
+                    continue
+                mo = emt[g, gk]
+                c1 = np.bincount(eqt[g, gk][mo] - g * per,
+                                 minlength=per)
+                c2 = np.bincount(ekt[g, gk][mo], minlength=Bp)
+                dmax = max(dmax, int(c1.max(initial=0)))
+                dmax_t = max(dmax_t, int(c2.max(initial=0)))
+
+    dmask = np.zeros((T, G, S_l, bm, bn), np.int8)
+    djl = np.zeros((T, G, n_i, W_l), np.int32)
+    djc = np.zeros((T, G, n_i), np.int32)
+    djs = np.zeros((T, G, n_i, W_l), np.int32)
+    dil = np.zeros((T, G, n_j, Wt_l), np.int32)
+    dic = np.zeros((T, G, n_j), np.int32)
+    dis = np.zeros((T, G, n_j, Wt_l), np.int32)
+    onbr = np.zeros((T, G, G, per, dmax), np.int32)
+    onval = np.zeros((T, G, G, per, dmax), bool)
+    oinc = np.zeros((T, G, G, Bp, dmax_t), np.int32)
+    oincs = np.zeros((T, G, G, Bp, dmax_t), np.int32)
+    oival = np.zeros((T, G, G, Bp, dmax_t), bool)
+    for t in range(T):
+        eqt, ekt, emt = (np.asarray(a) for a in
+                         (eq_t[t], ek_t[t], em_t[t]))
+        for g in range(G):
+            occ = occs[(t, g)]
+            slot_flat = np.cumsum(occ.reshape(-1)).astype(np.int32) - 1
+            djl[t, g], djc[t, g] = _rows_plan(occ, W_l)
+            dil[t, g], dic[t, g] = _rows_plan(occ.T, Wt_l)
+            djs[t, g] = np.clip(
+                slot_flat[np.arange(n_i)[:, None] * n_j + djl[t, g]],
+                0, S_l - 1)
+            dis[t, g] = np.clip(
+                slot_flat[dil[t, g] * n_j + np.arange(n_j)[:, None]],
+                0, S_l - 1)
+            m = emt[g, g]
+            qloc = eqt[g, g][m] - g * per
+            kloc = ekt[g, g][m]
+            slot_e = slot_flat[(qloc // bm) * n_j + kloc // bn]
+            dmask[t, g][slot_e, qloc % bm, kloc % bn] = 1
+            for gk in range(G):
+                if gk == g:
+                    continue
+                mo = emt[g, gk]
+                nb, nv, ic_, is_, iv = pad_bipartite_edges(
+                    eqt[g, gk] - g * per, ekt[g, gk], mo, per, Bp,
+                    dmax=dmax, dmax_t=dmax_t)
+                onbr[t, g, gk], onval[t, g, gk] = nb, nv
+                oinc[t, g, gk], oincs[t, g, gk] = ic_, is_
+                oival[t, g, gk] = iv
+    diag = tuple(jnp.asarray(a)
+                 for a in (dmask, djl, djc, djs, dil, dic, dis))
+    off = tuple(jnp.asarray(a)
+                for a in (onbr, onval, oinc, oincs, oival))
+    return diag, off
+
+
+def _rows_plan(occ_mat: np.ndarray, W: int):
+    """Host-side compacted walk plan from an occupancy matrix: for each
+    row, the occupied column indices (padded by repeating the last — the
+    pipeline's same-index dedup then skips the DMA) and the count."""
+    R = occ_mat.shape[0]
+    cnt = occ_mat.sum(axis=1).astype(np.int32)
+    lst = np.zeros((R, W), np.int32)
+    for r in range(R):
+        idx = np.nonzero(occ_mat[r])[0].astype(np.int32)
+        if idx.size == 0:
+            continue
+        take = idx[:W]
+        lst[r, :take.size] = take
+        lst[r, take.size:] = take[-1]
+    return lst, np.minimum(cnt, W)
+
+
+def pad_bipartite_edges(eq: np.ndarray, ek: np.ndarray, em: np.ndarray,
+                        n_q: int, n_k: int,
+                        dmax: Optional[int] = None,
+                        dmax_t: Optional[int] = None):
+    """Rectangular variant of `pad_residual_edges`: queries index a
+    [n_q]-row table, keys a [n_k]-row one (the ring's boundary
+    compaction is shorter than the query shard). Returns
+    (nbr i32[n_q, dmax], nval, inc i32[n_k, dmax_t], inc_slot, ival)
+    for `ops.sparse._padded_partial` with k/v of length n_k."""
+    eq = np.asarray(eq)
+    ek = np.asarray(ek)
+    em = np.asarray(em).astype(bool)
+    vq, vk = eq[em], ek[em]
+    order = np.argsort(vq, kind="stable")
+    sq, sk = vq[order], vk[order]
+    counts = np.bincount(sq, minlength=n_q)
+    if dmax is None:
+        dmax = max(1, int(counts.max(initial=0)))
+    elif counts.max(initial=0) > dmax:
+        raise ValueError(f"query degree {int(counts.max())} > {dmax}")
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(sq)) - starts[sq]
+    nbr = np.zeros((n_q, dmax), np.int32)
+    nval = np.zeros((n_q, dmax), bool)
+    nbr[sq, pos] = sk
+    nval[sq, pos] = True
+    order2 = np.argsort(sk, kind="stable")
+    tq, tk, tslot = sq[order2], sk[order2], pos[order2]
+    counts2 = np.bincount(tk, minlength=n_k)
+    if dmax_t is None:
+        dmax_t = max(1, int(counts2.max(initial=0)))
+    elif counts2.max(initial=0) > dmax_t:
+        raise ValueError(f"key degree {int(counts2.max())} > {dmax_t}")
+    starts2 = np.concatenate([[0], np.cumsum(counts2)[:-1]])
+    pos2 = np.arange(len(tk)) - starts2[tk]
+    inc = np.zeros((n_k, dmax_t), np.int32)
+    inc_slot = np.zeros((n_k, dmax_t), np.int32)
+    ival = np.zeros((n_k, dmax_t), bool)
+    inc[tk, pos2] = tq
+    inc_slot[tk, pos2] = tslot
+    ival[tk, pos2] = True
+    return nbr, nval, inc, inc_slot, ival
 
 
 def pad_residual_edges(eq: np.ndarray, ek: np.ndarray, em: np.ndarray,
                        num_nodes: int, dmax: Optional[int] = None,
-                       dmax_t: Optional[int] = None):
+                       dmax_t: Optional[int] = None,
+                       edge_ids: Optional[np.ndarray] = None):
     """Host-side: COO edges -> padded-degree tables for the scatter-free
     residual partial (`ops.sparse.edge_attention_partial_padded`).
 
@@ -406,13 +594,21 @@ def pad_residual_edges(eq: np.ndarray, ek: np.ndarray, em: np.ndarray,
     nodes; inc lists each key's incident *query* nodes, and inc_slot
     that edge's slot in the query table (so a dropout keep mask drawn
     in the query layout is readable from the key walk). Padded slots
-    point at node 0 with valid=False."""
+    point at node 0 with valid=False.
+
+    With ``edge_ids`` (ints aligned with ``eq``), a sixth array
+    i32[N, dmax] is appended carrying each slot's original edge id
+    (-1 on padding) — the provenance the biased hybrid backend gathers
+    per-edge bias values through."""
     eq = np.asarray(eq)
     ek = np.asarray(ek)
     em = np.asarray(em).astype(bool)
     vq, vk = eq[em], ek[em]
+    vid = None if edge_ids is None else np.asarray(edge_ids)[em]
     order = np.argsort(vq, kind="stable")
     sq, sk = vq[order], vk[order]
+    if vid is not None:
+        vid = vid[order]
     counts = np.bincount(sq, minlength=num_nodes)
     if dmax is None:
         dmax = max(1, int(counts.max(initial=0)))
@@ -444,6 +640,10 @@ def pad_residual_edges(eq: np.ndarray, ek: np.ndarray, em: np.ndarray,
     inc[tk, pos2] = tq
     inc_slot[tk, pos2] = tslot
     ival[tk, pos2] = True
+    if vid is not None:
+        bid = np.full((num_nodes, dmax), -1, np.int32)
+        bid[sq, pos] = vid
+        return nbr, nval, inc, inc_slot, ival, bid
     return nbr, nval, inc, inc_slot, ival
 
 

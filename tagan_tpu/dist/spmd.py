@@ -28,11 +28,19 @@ from ..core.graph import SnapshotSequence
 from .mesh import DATA_AXIS, GRAPH_AXIS
 
 
-def batch_specs(mesh: Mesh) -> SnapshotSequence:
+def batch_specs(mesh: Mesh,
+                batch: Optional[SnapshotSequence] = None
+                ) -> SnapshotSequence:
     """PartitionSpecs for a stacked SnapshotSequence batch
-    [B, T, N, ...]: batch over data, node slots over graph."""
+    [B, T, N, ...]: batch over data, node slots over graph. With
+    ``batch`` given, the optional plan fields it carries (ring buckets,
+    boundary/flash-local structures, hybrid plans) get specs too —
+    ring structures shard their per-shard axis over graph, hybrid
+    (single-chip) structures ride the data axis only (trailing dims
+    replicated; PartitionSpec may be shorter than the rank)."""
+    import dataclasses as _dc
     d, g = DATA_AXIS, GRAPH_AXIS
-    return SnapshotSequence(
+    specs = SnapshotSequence(
         x=P(d, None, g, None),
         node_mask=P(d, None, g),
         adj=P(d, None, g, None),
@@ -44,16 +52,40 @@ def batch_specs(mesh: Mesh) -> SnapshotSequence:
         time_mask=P(d, None),
         node_ids=P(d, g),
     )
+    if batch is None:
+        return specs
+    extras = {}
+    for f in ("ring_eq", "ring_ek", "ring_em", "ring_esrc"):
+        if getattr(batch, f) is not None:
+            extras[f] = P(d, None, g)      # [B, T, Gq, Gk, Ep]
+    if batch.ring_bnd_idx is not None:
+        extras["ring_bnd_idx"] = P(d, None, g)
+    if batch.ring_flash_diag is not None:
+        extras["ring_flash_diag"] = tuple(
+            P(d, None, g) for _ in batch.ring_flash_diag)
+    if batch.ring_flash_off is not None:
+        extras["ring_flash_off"] = tuple(
+            P(d, None, g) for _ in batch.ring_flash_off)
+    for f in ("hyb_mask_blocks", "hyb_band_slot", "hyb_res_bid"):
+        if getattr(batch, f) is not None:
+            extras[f] = P(d)
+    for f in ("hyb_plan", "hyb_plan_t", "hyb_res", "hyb_res_pad"):
+        val = getattr(batch, f)
+        if val is not None:
+            extras[f] = tuple(P(d) for _ in val)
+    return _dc.replace(specs, **extras)
 
 
-def batch_shardings(mesh: Mesh) -> SnapshotSequence:
+def batch_shardings(mesh: Mesh,
+                    batch: Optional[SnapshotSequence] = None
+                    ) -> SnapshotSequence:
     return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s),
-                                  batch_specs(mesh),
+                                  batch_specs(mesh, batch),
                                   is_leaf=lambda s: isinstance(s, P))
 
 
 def shard_batch(mesh: Mesh, batch: SnapshotSequence) -> SnapshotSequence:
-    sh = batch_shardings(mesh)
+    sh = batch_shardings(mesh, batch)
     return jax.tree_util.tree_map(jax.device_put, batch, sh)
 
 
@@ -63,7 +95,6 @@ def make_train_step(model, tx: optax.GradientTransformation,
     (params, opt_state, loss). Params/opt replicated; batch sharded
     (data, graph); collectives inserted by GSPMD."""
     repl = NamedSharding(mesh, P())
-    b_shard = batch_shardings(mesh)
     lbl_shard = NamedSharding(mesh, P(DATA_AXIS))
 
     def loss_fn(params, batch, labels):
@@ -78,16 +109,18 @@ def make_train_step(model, tx: optax.GradientTransformation,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # batch shardings are inferred from the arrays `shard_batch`
+    # committed (the batch pytree's optional plan fields vary per
+    # dataset, so a static spec tree here cannot match every batch)
     return jax.jit(
         step,
-        in_shardings=(repl, repl, b_shard, lbl_shard),
+        in_shardings=(repl, repl, None, lbl_shard),
         out_shardings=(repl, repl, repl),
     )
 
 
 def make_eval_step(model, mesh: Mesh) -> Callable:
     repl = NamedSharding(mesh, P())
-    b_shard = batch_shardings(mesh)
     lbl_shard = NamedSharding(mesh, P(DATA_AXIS))
 
     def step(params, batch, labels):
@@ -97,4 +130,4 @@ def make_eval_step(model, mesh: Mesh) -> Callable:
         losses, preds = jax.vmap(one)(batch, labels)
         return jnp.mean(losses), preds
 
-    return jax.jit(step, in_shardings=(repl, b_shard, lbl_shard))
+    return jax.jit(step, in_shardings=(repl, None, lbl_shard))

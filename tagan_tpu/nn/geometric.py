@@ -285,6 +285,8 @@ class GeometricAttention:
         res_pad=None,   # optional padded-degree tables (nbr, nval,
                         # inc, inc_slot, ival) — the scatter-free
                         # residual path; COO args are ignored when set
+        band_bias: Optional[jax.Array] = None,  # f32[S, BM, BN] compact
+        res_bias: Optional[jax.Array] = None,   # f32[N, dmax] padded
     ) -> jax.Array:
         """Hybrid backend for very large graphs with locality (the
         post-RCM band structure, `core.graph.build_sequence(
@@ -302,7 +304,15 @@ class GeometricAttention:
 
         Attention dropout runs in-kernel on the band part and per-edge
         on the residual part — dropping normalized weights is linear,
-        so the merged result is exact union-softmax dropout."""
+        so the merged result is exact union-softmax dropout.
+
+        ``band_bias``/``res_bias`` switch to the edge-biased variant —
+        the dense path's geometric-bias DOUBLE softmax computed
+        union-exactly across the band/residual split
+        (`ops.pallas.hybrid_biased`). band_bias carries the band edges'
+        head-shared bias values in the compact slot layout of
+        ``mask_blocks``; res_bias the residual values in the padded
+        query layout (requires ``res_pad``)."""
         from ..ops.pallas.flash_geometric import (
             MXU_METRICS, flash_geometric_attention_lse)
         metric = self.distance_metric
@@ -310,6 +320,12 @@ class GeometricAttention:
             raise NotImplementedError(
                 f"metric {metric} is not MXU-expressible; the hybrid "
                 "backend needs the flash kernel — use 'csr'")
+        biased = band_bias is not None
+        if biased and res_pad is None:
+            raise ValueError(
+                "edge bias on the hybrid backend needs the padded "
+                "residual tables — rebuild the plan with "
+                "with_hybrid_plan(padded_residual=True)")
         sigma, gamma, _ = self._metric_params(p)
         scale = sigma if sigma is not None else gamma
         att_rate = 0.0
@@ -319,8 +335,8 @@ class GeometricAttention:
             rng, r_band, r_res = jax.random.split(rng, 3)
             att_rate = self.dropout
             band_seed = jax.random.randint(
-                r_band, (1,), 0, jnp.iinfo(jnp.int32).max,
-                dtype=jnp.int32)
+                r_band, (2 if biased else 1,), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         identity = x
         h = M.layer_norm(p["ln1"], x) if self.use_layer_norm else x
         q = self._split_heads(M.linear(p["q"], h))   # [H, N, Dh]
@@ -335,23 +351,38 @@ class GeometricAttention:
                 q = jnp.einsum("...hnd,hrd->...hnr", q, f)
                 k = jnp.einsum("...hnd,hrd->...hnr", k, f)
         from ..ops import sparse as S2
-        band = flash_geometric_attention_lse(
-            q, k, v, mask_blocks, metric=metric, scale_param=scale,
-            block_m=block_m, block_n=block_n, bf16=bf16,
-            plan=band_plan, plan_t=band_plan_t,
-            dropout_rate=att_rate, dropout_seed=band_seed)
-        if res_pad is not None:
-            nbr, nval, inc, inc_slot, ival = res_pad
-            res = S2.edge_attention_partial_padded(
-                metric, q, k, v, nbr, nval, inc, inc_slot, ival,
-                sigma=sigma, gamma=gamma,
-                dropout_rate=att_rate, dropout_rng=r_res)
+        if biased:
+            from ..ops.pallas.flash_geometric import _l2_normalize
+            from ..ops.pallas.hybrid_biased import hybrid_biased_attention
+            if metric in ("cosine_similarity", "cosine_distance"):
+                # normalize outside the custom_vjp so autodiff pulls
+                # the chain back
+                q = _l2_normalize(q)
+                k = _l2_normalize(k)
+            ctx = hybrid_biased_attention(
+                q, k, v, mask_blocks, band_plan, band_plan_t, res_pad,
+                band_bias, res_bias, metric=metric, scale_param=scale,
+                block_m=block_m, block_n=block_n, bf16=bf16,
+                dropout_rate=att_rate, dropout_seeds=band_seed,
+                dropout_rng=r_res)
         else:
-            res = S2.edge_attention_partial(
-                metric, q, k, v, res_eq, res_ek, res_em, x.shape[-2],
-                sigma=sigma, gamma=gamma,
-                dropout_rate=att_rate, dropout_rng=r_res)
-        ctx, _ = S2.merge_attention_partials([band, res])
+            band = flash_geometric_attention_lse(
+                q, k, v, mask_blocks, metric=metric, scale_param=scale,
+                block_m=block_m, block_n=block_n, bf16=bf16,
+                plan=band_plan, plan_t=band_plan_t,
+                dropout_rate=att_rate, dropout_seed=band_seed)
+            if res_pad is not None:
+                nbr, nval, inc, inc_slot, ival = res_pad
+                res = S2.edge_attention_partial_padded(
+                    metric, q, k, v, nbr, nval, inc, inc_slot, ival,
+                    sigma=sigma, gamma=gamma,
+                    dropout_rate=att_rate, dropout_rng=r_res)
+            else:
+                res = S2.edge_attention_partial(
+                    metric, q, k, v, res_eq, res_ek, res_em,
+                    x.shape[-2], sigma=sigma, gamma=gamma,
+                    dropout_rate=att_rate, dropout_rng=r_res)
+            ctx, _ = S2.merge_attention_partials([band, res])
         ctx = self._merge_heads(ctx)
         ctx = M.linear(p["o"], ctx)
         if not deterministic and rng is not None:

@@ -439,15 +439,31 @@ class TAGAN:
             raise ValueError(
                 "spatial_backend='hybrid' requires sequences built "
                 "with SnapshotSequence.with_hybrid_plan()")
-        if want_edge_bias:
-            raise NotImplementedError(
-                "edge-feature bias is not implemented on the hybrid "
-                "backend; use spatial_backend='flash' or 'csr'")
+        if want_edge_bias and (seq.hyb_band_slot is None
+                               or seq.hyb_res_bid is None):
+            raise ValueError(
+                "use_edge_features on the hybrid backend needs the "
+                "bias provenance tables — rebuild the plan with "
+                "with_hybrid_plan() (padded_residual=True if a hub "
+                "disabled the padded tables; older plans lack "
+                "hyb_band_slot/hyb_res_bid)")
         ga = self.graph_attention
         BM = seq.hyb_mask_blocks.shape[2]
         n_i = seq.hyb_plan[1].shape[1]
         n_j = seq.hyb_plan_t[1].shape[1]
         BN = (n_i * BM) // n_j
+        S = seq.hyb_mask_blocks.shape[1]
+        if want_edge_bias and BM * BN > 256 * 1024:
+            # the biased backward's combined delta1+dB walk carries the
+            # [BM, BN] f32 bias block, the dB accumulator AND the dB
+            # output block — measured 16.88 MB scoped VMEM at 512x1024
+            # on v5e (16 MB limit); 256x1024 fits (the same rule as the
+            # dense-path biased flash, encode_spatial's BM=256 pick)
+            raise ValueError(
+                "edge bias on the hybrid backend needs block_m*block_n "
+                "<= 256*1024 (biased backward scoped-VMEM limit, "
+                "measured on v5e) — rebuild the plan with "
+                "with_hybrid_plan(block_m=256)")
         train = (not deterministic and rng is not None
                  and c.dropout > 0.0)
         if train:
@@ -457,6 +473,8 @@ class TAGAN:
             step_rngs = None
 
         padded = seq.hyb_res_pad is not None
+        ea_bias = (M.linear(p["edge_embedding"], seq.edge_attr)
+                   if want_edge_bias else None)   # [T, E, hidden]
 
         def one_step(args):
             it = iter(args)
@@ -465,16 +483,36 @@ class TAGAN:
             req, rek, rem = (next(it) for _ in range(3))
             rp = tuple(next(it) for _ in range(5)) if padded else None
             nm = next(it)
+            if ea_bias is not None:
+                ea_t, eq_t, ek_t, em_t, bslot_t, rbid_t = (
+                    next(it) for _ in range(6))
             rt = next(it) if step_rngs is not None else None
             sk = xt
             for i in range(c.num_layers):
                 lp = p["geometric_layers"][f"layer_{i}"]
                 ri = None if rt is None else jax.random.fold_in(rt, i)
+                bb = rb = None
+                if ea_bias is not None and "edge_bias" in lp:
+                    # per-layer head-shared scalar bias per edge,
+                    # scattered into the compact band slot layout
+                    # (invalid/residual edges route to the dropped slot
+                    # S) and gathered into the padded residual layout
+                    # through the plan's provenance ids
+                    b_all = M.linear(lp["edge_bias"], ea_t)[..., 0]
+                    b_all = jnp.where(em_t, b_all, 0.0)
+                    sl = jnp.where(bslot_t >= 0, bslot_t, S)
+                    bb = jnp.zeros((S, BM, BN), b_all.dtype).at[
+                        sl, eq_t % BM, ek_t % BN].add(
+                            jnp.where(bslot_t >= 0, b_all, 0.0),
+                            mode="drop")
+                    safe = jnp.clip(rbid_t, 0, b_all.shape[0] - 1)
+                    rb = jnp.where(rbid_t >= 0, b_all[safe], 0.0)
                 xt = ga.inner.apply_hybrid(
                     lp["attn"], xt, mb, (jl, jc, js), (il, ic, isl),
                     req, rek, rem, nm, deterministic=ri is None,
                     rng=ri, block_m=BM, block_n=BN,
-                    bf16=c.bf16_matmul, res_pad=rp)
+                    bf16=c.bf16_matmul, res_pad=rp,
+                    band_bias=bb, res_bias=rb)
                 if i == 0:
                     if c.use_layer_norm:
                         xt = xt + M.layer_norm(p["skip_layer_norm"], sk)
@@ -489,6 +527,10 @@ class TAGAN:
         if padded:
             args = args + tuple(seq.hyb_res_pad)
         args = args + (seq.node_mask,)
+        if ea_bias is not None:
+            args = args + (ea_bias, seq.edge_src, seq.edge_dst,
+                           seq.edge_mask, seq.hyb_band_slot,
+                           seq.hyb_res_bid)
         if step_rngs is not None:
             args = args + (step_rngs,)
         return jax.lax.map(one_step, args)
@@ -518,9 +560,11 @@ class TAGAN:
                 "use_edge_features on the ring backend needs bucket "
                 "provenance — rebuild the plan with with_ring_plan() "
                 "(older plans lack ring_esrc)")
-        from ..dist.edge_partition import (make_boundary_ring_attention,
-                                           make_ring_attention)
+        from ..dist.edge_partition import (
+            make_boundary_ring_attention, make_boundary_ring_flash_attention,
+            make_ring_attention)
         from ..dist.mesh import GRAPH_AXIS
+        from ..ops.pallas.flash_geometric import MXU_METRICS
         N = seq.x.shape[1]
         g = self.mesh.shape[GRAPH_AXIS]
         if seq.ring_eq.shape[1] != g:
@@ -538,6 +582,17 @@ class TAGAN:
             step_rngs = jax.random.split(r, x.shape[0])
         else:
             step_rngs = None
+        # flash-local ring (VERDICT r3 item 1): when the plan carries
+        # the diagonal compact structures and the metric is
+        # MXU-expressible, the per-shard local math runs through the
+        # flash Pallas kernel + scatter-free boundary folds instead of
+        # COO segment scatters. Edge bias and mahalanobis/manhattan
+        # keep the segment-fold ring (exact, slower).
+        use_lf = (halo and seq.ring_flash_diag is not None
+                  and not want_edge_bias and metric in MXU_METRICS)
+        if use_lf:
+            return self._encode_ring_flash_local(
+                p, seq, x, metric, Dh, g, rate, step_rngs)
         # mahalanobis rides the generic edgewise kernel via cov_inv
         if halo:
             # boundary-only exchange: only the rows other shards
@@ -612,6 +667,69 @@ class TAGAN:
 
         x = jax.lax.map(step, packed)
         return (x, None) if return_weights else x
+
+    def _encode_ring_flash_local(self, p, seq, x, metric, Dh, g, rate,
+                                 step_rngs):
+        """Flash-local ring: diagonal buckets through the compact-mask
+        flash kernel per shard + scatter-free padded boundary folds
+        (dist.edge_partition.make_boundary_ring_flash_attention)."""
+        c = self.config
+        from ..dist.edge_partition import \
+            make_boundary_ring_flash_attention
+        ring_fn = make_boundary_ring_flash_attention(
+            self.mesh, metric, c.num_heads, seq.x.shape[1], Dh,
+            dropout_rate=rate)
+        ga = self.graph_attention
+        H = c.num_heads
+        per = seq.ring_flash_off[0].shape[-2]
+        dmax = seq.ring_flash_off[0].shape[-1]
+
+        def one_step(args):
+            it = iter(args)
+            xt = next(it)
+            nm = next(it)
+            bidx = next(it)
+            d7 = tuple(next(it) for _ in range(7))
+            o5 = tuple(next(it) for _ in range(5))
+            rt = next(it) if step_rngs is not None else None
+
+            def core(qh, kh, vh, sig, gam, cov, r_att):
+                extra = ()
+                if r_att is not None:
+                    r1, r2 = jax.random.split(r_att)
+                    seeds = jax.random.randint(
+                        r1, (g,), 0, jnp.iinfo(jnp.int32).max,
+                        dtype=jnp.int32)
+                    keep_p = 1.0 - c.dropout
+                    kap = jnp.where(
+                        jax.random.bernoulli(r2, keep_p,
+                                             (H, g, g, per, dmax)),
+                        1.0 / keep_p, 0.0).astype(qh.dtype)
+                    extra = (seeds, kap)
+                return ring_fn(qh, kh, vh, *d7, *o5, bidx, sig, gam,
+                               cov, *extra)
+
+            sk = xt
+            for i in range(c.num_layers):
+                lp = p["geometric_layers"][f"layer_{i}"]
+                ri = None if rt is None else jax.random.fold_in(rt, i)
+                xt = ga.inner.apply_ring(lp["attn"], xt, core, nm,
+                                         deterministic=ri is None,
+                                         rng=ri)
+                if i == 0:
+                    if c.use_layer_norm:
+                        xt = xt + M.layer_norm(p["skip_layer_norm"], sk)
+                    else:
+                        xt = xt + sk
+            return xt
+
+        if c.remat:
+            one_step = jax.checkpoint(one_step)
+        args = (x, seq.node_mask, seq.ring_bnd_idx,
+                *seq.ring_flash_diag, *seq.ring_flash_off)
+        if step_rngs is not None:
+            args = args + (step_rngs,)
+        return jax.lax.map(one_step, args)
 
     def __call__(
         self,

@@ -882,11 +882,19 @@ def flash_geometric_attention_lse(
 # ---------------------------------------------------------------------------
 
 
-def _lse1_kernel(jlist_ref, jcount_ref, scale_ref, q_ref, k_ref, mask_ref,
-                 lse_ref, m_ref, l_ref, *, metric: str, n_j: int,
-                 true_d: int, bf16: bool, packed: bool = False):
+def _lse1_kernel(jlist_ref, jcount_ref, *rest, metric: str, n_j: int,
+                 true_d: int, bf16: bool, packed: bool = False,
+                 compact: bool = False):
     """First-softmax logsumexp only (no PV matmul) — feeds the biased
-    main walk, which reconstructs w1 = exp(s - lse1) blockwise."""
+    main walk, which reconstructs w1 = exp(s - lse1) blockwise. With
+    ``compact`` the mask input is the [n_slots, BM, mw] occupied-block
+    store (jslot prefetch drives its index map)."""
+    if compact:
+        (jslot_ref, scale_ref, q_ref, k_ref, mask_ref,
+         lse_ref, m_ref, l_ref) = rest
+    else:
+        (scale_ref, q_ref, k_ref, mask_ref,
+         lse_ref, m_ref, l_ref) = rest
     j = pl.program_id(2)
     i = pl.program_id(1)
     h = pl.program_id(0)
@@ -900,7 +908,8 @@ def _lse1_kernel(jlist_ref, jcount_ref, scale_ref, q_ref, k_ref, mask_ref,
     def _compute():
         s = _block_scores(metric, q_ref[0], k_ref[0], scale_ref[h],
                           true_d, bf16)
-        s = jnp.where(_mask_bits(mask_ref[:], packed) != 0, s,
+        s = jnp.where(_mask_bits(mask_ref[0] if compact else mask_ref[:],
+                                 packed) != 0, s,
                       NEG_INF)
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -932,14 +941,26 @@ def _w1_block(metric, q, k, mask, lse1_row, scale, true_d, bf16,
     return w1, w1d, s, sq, qk
 
 
-def _flash_biased_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
-                         q_ref, k_ref, v_ref, mask_ref, bias_ref, lse1_ref,
-                         o_ref, lse2_ref, acc_ref, m_ref, l_ref, *,
+def _flash_biased_kernel(jlist_ref, jcount_ref, *rest,
                          metric: str, n_j: int, true_d: int, bf16: bool,
                          dropout_rate: float, block_m: int, block_n: int,
-                         packed: bool = False):
+                         packed: bool = False, compact: bool = False):
     """Biased main walk: streaming softmax over z = drop1(w1) + B with
-    the same block-sparsity plan as the lse1 walk."""
+    the same block-sparsity plan as the lse1 walk. ``lse1`` is an INPUT,
+    so the caller may pass a logsumexp over a superset of these blocks'
+    edges (the hybrid band+residual union) — the walk then computes the
+    band PARTIAL of the union's second softmax (out normalized within
+    the walked blocks, lse2 the walked blocks' z-logsumexp), exact for
+    `merge_attention_partials`. With ``compact`` the mask AND bias
+    inputs are [n_slots, BM, *] occupied-block stores."""
+    if compact:
+        (jslot_ref, scale_ref, seeds_ref, q_ref, k_ref, v_ref, mask_ref,
+         bias_ref, lse1_ref, o_ref, lse2_ref, acc_ref, m_ref,
+         l_ref) = rest
+    else:
+        (scale_ref, seeds_ref, q_ref, k_ref, v_ref, mask_ref,
+         bias_ref, lse1_ref, o_ref, lse2_ref, acc_ref, m_ref,
+         l_ref) = rest
     j = pl.program_id(2)
     i = pl.program_id(1)
     h = pl.program_id(0)
@@ -952,14 +973,15 @@ def _flash_biased_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
 
     @pl.when(j < jcount_ref[i])
     def _compute():
-        mask = _mask_bits(mask_ref[:], packed)
+        mask = _mask_bits(mask_ref[0] if compact else mask_ref[:], packed)
+        bias = bias_ref[0] if compact else bias_ref[:]
         row0 = i * block_m
         col0 = jlist_ref[i, j] * block_n
         _, w1d, _, _, _ = _w1_block(
             metric, q_ref[0], k_ref[0], mask, lse1_ref[0], scale_ref[h],
             true_d, bf16, seeds_ref, h, row0, col0, block_m, block_n,
             dropout_rate)
-        z = jnp.where(mask != 0, w1d + bias_ref[:], NEG_INF)
+        z = jnp.where(mask != 0, w1d + bias, NEG_INF)
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(z, axis=-1, keepdims=True))
         p2 = jnp.exp(z - m_new)
@@ -1013,19 +1035,29 @@ def _bwd_biased_common(metric, q, k, v, do, mask, bias, lse1_row,
     return w2d, dz, dw1, w1, s, sq, qk
 
 
-def _biased_bwd_pre_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
-                           q_ref, k_ref, v_ref, mask_ref, bias_ref,
-                           do_ref, lse1_ref, lse2_ref, delta2_ref,
-                           delta1_ref, db_ref, d1_acc, db_acc, *,
+def _biased_bwd_pre_kernel(jlist_ref, jcount_ref, *rest,
                            metric: str, n_j: int, n_h: int, true_d: int,
                            bf16: bool, dropout_rate: float, block_m: int,
-                           block_n: int, packed: bool = False):
+                           block_n: int, packed: bool = False,
+                           compact: bool = False):
     """Combined walk A — grid (n_i, n_j_walk, H), heads innermost:
       delta1[row, h] = sum_j w1 ⊙ dw1   (softmax-1 vjp row term)
       dB[i, j]      = sum_h dz          (bias is head-shared)
     dB blocks at unoccupied (i, j) positions are never visited and hold
     unspecified values — callers must only read positions covered by
-    real edges (which lie in occupied blocks by construction)."""
+    real edges (which lie in occupied blocks by construction). With
+    ``compact``, mask/bias are occupied-block stores and dB is written
+    back in the SAME compact slot layout."""
+    if compact:
+        # jsdb_ref: the dB output's slot table (padded/empty walk steps
+        # routed to a trash slot) — consumed only by the out index map
+        (jslot_ref, jsdb_ref, scale_ref, seeds_ref, q_ref, k_ref, v_ref,
+         mask_ref, bias_ref, do_ref, lse1_ref, lse2_ref, delta2_ref,
+         delta1_ref, db_ref, d1_acc, db_acc) = rest
+    else:
+        (scale_ref, seeds_ref, q_ref, k_ref, v_ref, mask_ref,
+         bias_ref, do_ref, lse1_ref, lse2_ref, delta2_ref,
+         delta1_ref, db_ref, d1_acc, db_acc) = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
     h = pl.program_id(2)
@@ -1044,8 +1076,9 @@ def _biased_bwd_pre_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
         col0 = jlist_ref[i, j] * block_n
         _, dz, dw1, w1, _, _, _ = _bwd_biased_common(
             metric, q_ref[0], k_ref[0], v_ref[0], do_ref[0],
-            _mask_bits(mask_ref[:], packed),
-            bias_ref[:], lse1_ref[0], lse2_ref[0], delta2_ref[0],
+            _mask_bits(mask_ref[0] if compact else mask_ref[:], packed),
+            bias_ref[0] if compact else bias_ref[:],
+            lse1_ref[0], lse2_ref[0], delta2_ref[0],
             scale_ref[h], true_d, bf16, seeds_ref, h, row0, col0,
             block_m, block_n, dropout_rate)
         db_acc[:] = db_acc[:] + dz
@@ -1056,24 +1089,30 @@ def _biased_bwd_pre_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
 
         @pl.when(h == n_h - 1)
         def _flush_db():
-            db_ref[:] = db_acc[:]
+            if compact:
+                db_ref[0] = db_acc[:]
+            else:
+                db_ref[:] = db_acc[:]
 
     @pl.when(jnp.logical_and(j == n_j - 1, h == n_h - 1))
     def _fin_row():
         delta1_ref[:] = d1_acc[:]
 
 
-def _biased_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
-                          q_ref, k_ref, v_ref, mask_ref, bias_ref,
-                          do_ref, lse1_ref, lse2_ref, delta2_ref,
-                          delta1_ref, *rest, metric: str, n_j: int,
+def _biased_bwd_dq_kernel(jlist_ref, jcount_ref, *rest, metric: str,
+                          n_j: int,
                           true_d: int, bf16: bool, dropout_rate: float,
                           block_m: int, block_n: int, need_dscale: bool,
-                          packed: bool = False):
+                          packed: bool = False, compact: bool = False):
     """Walk B: dq (+ dscale) over the forward plan, consuming walk A's
     delta1 (full [BM, H] block; the head column is one-hot selected —
     a (BM, 1) lane slice of an [Np, H] array violates the TPU 8x128
     block rule)."""
+    if compact:
+        jslot_ref, *rest = rest
+    (scale_ref, seeds_ref, q_ref, k_ref, v_ref, mask_ref, bias_ref,
+     do_ref, lse1_ref, lse2_ref, delta2_ref, delta1_ref,
+     *rest) = rest
     if need_dscale:
         dq_ref, dsc_ref, acc_ref, dsc_acc = rest
     else:
@@ -1104,7 +1143,8 @@ def _biased_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
         col0 = jlist_ref[i, j] * block_n
         _, _, dw1, w1, s, sq, qk = _bwd_biased_common(
             metric, q, k, v_ref[0], do_ref[0],
-            _mask_bits(mask_ref[:], packed), bias_ref[:],
+            _mask_bits(mask_ref[0] if compact else mask_ref[:], packed),
+            bias_ref[0] if compact else bias_ref[:],
             lse1_ref[0], lse2_ref[0], delta2_ref[0], scale, true_d,
             bf16, seeds_ref, h, row0, col0, block_m, block_n,
             dropout_rate)
@@ -1133,14 +1173,20 @@ def _biased_bwd_dq_kernel(jlist_ref, jcount_ref, scale_ref, seeds_ref,
             dsc_ref[:] = dsc_ref[:] + jnp.where(hot, dsc_acc[0, 0], 0.0)
 
 
-def _biased_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seeds_ref,
-                           q_ref, k_ref, v_ref, mask_ref, bias_ref,
-                           do_ref, lse1_ref, lse2_ref, delta2_ref,
-                           delta1_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+def _biased_bwd_dkv_kernel(ilist_ref, icount_ref, *rest,
                            metric: str, n_i: int, true_d: int, bf16: bool,
                            dropout_rate: float, block_m: int,
-                           block_n: int, packed: bool = False):
+                           block_n: int, packed: bool = False,
+                           compact: bool = False):
     """Walk C: dk/dv over the transposed plan."""
+    if compact:
+        (islot_ref, scale_ref, seeds_ref, q_ref, k_ref, v_ref, mask_ref,
+         bias_ref, do_ref, lse1_ref, lse2_ref, delta2_ref,
+         delta1_ref, dk_ref, dv_ref, dk_acc, dv_acc) = rest
+    else:
+        (scale_ref, seeds_ref, q_ref, k_ref, v_ref, mask_ref,
+         bias_ref, do_ref, lse1_ref, lse2_ref, delta2_ref,
+         delta1_ref, dk_ref, dv_ref, dk_acc, dv_acc) = rest
     i = pl.program_id(2)
     j = pl.program_id(1)
     h = pl.program_id(0)
@@ -1159,7 +1205,8 @@ def _biased_bwd_dkv_kernel(ilist_ref, icount_ref, scale_ref, seeds_ref,
         col0 = j * block_n
         w2d, _, dw1, w1, s, sq, qk = _bwd_biased_common(
             metric, q, k, v_ref[0], do_ref[0],
-            _mask_bits(mask_ref[:], packed), bias_ref[:],
+            _mask_bits(mask_ref[0] if compact else mask_ref[:], packed),
+            bias_ref[0] if compact else bias_ref[:],
             lse1_ref[0], lse2_ref[0], delta2_ref[0], scale, true_d,
             bf16, seeds_ref, h, row0, col0, block_m, block_n,
             dropout_rate)

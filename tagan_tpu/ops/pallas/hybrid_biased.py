@@ -1,0 +1,678 @@
+"""Edge-biased hybrid (band + residual) attention — exact union double
+softmax at >HBM scale.
+
+The dense reference applies its geometric bias as a re-softmax over the
+already-softmaxed weights (`/root/reference/src/tagan/layers/
+geometric_attention.py:567-575`):
+
+    w1 = softmax(mask(s));  [drop1];  w2 = softmax(mask(w1 + B));
+    [drop2];  out = w2 @ v
+
+The hybrid backend splits the edge set into a BAND part (compact
+occupied-block masks through the flash kernels) and a RESIDUAL part
+(padded-degree tables, `ops.sparse`) — but the two softmaxes normalize
+over the UNION edge set, so the parts cannot be biased independently.
+The decomposition used here exploits that every biased flash kernel
+walk takes its row statistics (lse1, lse2, delta1, delta2) as INPUTS:
+
+  forward
+    1. lse1_band  — compact lse1 walk over the band blocks
+    2. lse1_res   — padded-layout score logsumexp over residual slots
+    3. lse1_U     = logaddexp union                 (the first softmax)
+    4. band pass  — the biased main walk with lse1_U gives the band
+                    PARTIAL of the second softmax: z = drop1(w1) + B,
+                    (out_b, lse2_b) normalized within the band
+    5. res pass   — the same z-partial on the padded tables
+    6. merge      — `merge_attention_partials` (the flash-combine
+                    identity applied to the SECOND softmax)
+
+  backward (given only d(out); the lse outputs are internal)
+    delta2        = sum(dout * out_U) per row       (union, from merge)
+    walk A (band) — delta1_band + dB_band (compact slot layout)
+    XLA (res)     — delta1_res + dB_res on the padded tables
+    delta1_U      = delta1_band + delta1_res
+    walks B/C     — dq/dk/dv band with UNION lse1/lse2/delta1/delta2:
+                    the kernel math is unchanged — union statistics in,
+                    union-exact gradients out
+    XLA (res)     — dq/dk/dv residual via the query + transposed-key
+                    walks (no scatter), same union statistics
+
+Dropout: band keep masks are the kernels' coordinate-hash PRNG (two
+seeds — between the softmaxes and on the final weights); residual keep
+masks are explicit inverted-dropout factors drawn once in the query
+layout and read from the key walk through ``inc_slot`` — band and
+residual edge sets are disjoint, so the union drop pattern is exact.
+
+Scale/metric conventions match `flash_geometric`: q/k arrive
+L2-normalized for the cosine metrics and factor-space for mahalanobis
+(the caller's chain rules run outside this custom_vjp); ``scale`` is
+sigma (gaussian) / gamma (rbf) with in-walk d(scale) accumulation plus
+the residual contribution. Residual scores use the SAME norm-expansion
+formulas as the kernel blocks (`_scores_from`), so band and residual
+agree bit-for-bit in convention.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .flash_geometric import (LSE_DEAD, NEG_INF, SCALED_METRICS,
+                              _biased_bwd_dkv_kernel,
+                              _biased_bwd_dq_kernel,
+                              _biased_bwd_pre_kernel, _clip_grad,
+                              _dsq_from_ds, _flash_biased_kernel,
+                              _lse1_kernel, _pcall, _round_up,
+                              _SQ_METRICS, _COSINE, MXU_METRICS)
+
+import math
+
+
+# ---------------------------------------------------------------------------
+# Padded-layout (residual) score helpers — kernel-convention numerics
+# ---------------------------------------------------------------------------
+
+def _pp_scores_aux(metric, a, b_e, scale, true_d):
+    """Scores for padded edge slots, norm-expansion form (identical to
+    the kernel's `_block_scores` chain). a [H, N, D] row operand,
+    b_e [H, N, W, D] gathered neighbor operand. Returns (s, sq, qk)
+    each [H, N, W]."""
+    qk = jnp.sum(a[:, :, None, :] * b_e, axis=-1)
+    sq = None
+    if metric in _SQ_METRICS:
+        an = jnp.sum(a * a, axis=-1)[:, :, None]
+        bn = jnp.sum(b_e * b_e, axis=-1)
+        sq = jnp.maximum(an + bn - 2.0 * qk, 0.0)
+    sc = scale[:, None, None]
+    if metric == "scaled_dot_product":
+        s = qk / math.sqrt(true_d)
+    elif metric == "dot_product":
+        s = qk
+    elif metric == "cosine_similarity":
+        s = jnp.clip(qk, -1.0, 1.0)
+    elif metric == "cosine_distance":
+        s = jnp.clip(qk, -1.0, 1.0) - 1.0
+    elif metric == "squared_euclidean":
+        s = -sq
+    elif metric == "euclidean":
+        s = -jnp.sqrt(sq + 1e-8)
+    elif metric == "gaussian_kernel":
+        s = jnp.exp(-sq / (2.0 * sc * sc))
+    elif metric == "rbf_kernel":
+        s = jnp.exp(-sc * sq)
+    else:
+        raise NotImplementedError(metric)
+    return s, sq, qk
+
+
+def _pp_chain_drow(metric, ds, s, sq, qk, a, b_e, scale, true_d):
+    """d(row operand a) from ds [H, N, W]: sum over the slot axis of
+    each edge's score chain (the edgewise form of `_chain_dq`)."""
+    sc = scale[:, None, None]
+    if metric == "dot_product":
+        return jnp.sum(ds[..., None] * b_e, axis=-2)
+    if metric == "scaled_dot_product":
+        return jnp.sum(ds[..., None] * b_e, axis=-2) / math.sqrt(true_d)
+    if metric in _COSINE:
+        return jnp.sum((ds * _clip_grad(qk))[..., None] * b_e, axis=-2)
+    dsq = _dsq_from_ds(metric, ds, s, sq, sc)
+    return jnp.sum((2.0 * dsq)[..., None]
+                   * (a[:, :, None, :] - b_e), axis=-2)
+
+
+def _pp_dscale(metric, ds, s, sq, scale):
+    """Residual d(scale) contribution per head (same formulas as the
+    in-kernel accumulation)."""
+    if metric not in SCALED_METRICS:
+        return jnp.zeros_like(scale)
+    common = jnp.sum(ds * s * sq, axis=(1, 2))
+    if metric == "gaussian_kernel":
+        return common / (scale * scale * scale)
+    return -common
+
+
+def _lse_union(a, b):
+    """Combine two logsumexps with the dead-row convention
+    |lse| >= 1e29 (either sign) meaning 'no valid entries'."""
+    a_ = jnp.where(jnp.abs(a) >= 1e29, NEG_INF, a)
+    b_ = jnp.where(jnp.abs(b) >= 1e29, NEG_INF, b)
+    m = jnp.maximum(a_, b_)
+    dead = m <= NEG_INF * 0.5
+    m_safe = jnp.where(dead, 0.0, m)
+    s = jnp.exp(a_ - m_safe) + jnp.exp(b_ - m_safe)
+    s = jnp.where(s == 0, 1.0, s)
+    return jnp.where(dead, LSE_DEAD, m_safe + jnp.log(s))
+
+
+def _row_safe(lse):
+    """lse with dead markers replaced by 0 (safe to subtract inside an
+    exp whose result is masked anyway)."""
+    return jnp.where(jnp.abs(lse) >= 1e29, 0.0, lse)
+
+
+# ---------------------------------------------------------------------------
+# Band walks with compact blockspecs
+# ---------------------------------------------------------------------------
+
+def _b(shape, imap):
+    return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+
+def _pad_ops(q, k, v, block_m, block_n):
+    H, N, D = q.shape
+    Dv = v.shape[-1]
+    Np = _round_up(N, max(block_m, block_n))
+    Dp = _round_up(max(D, Dv), 128)
+    if Np != N or Dp != D or Dp != Dv:
+        q = jnp.pad(q, ((0, 0), (0, Np - N), (0, Dp - D)))
+        k = jnp.pad(k, ((0, 0), (0, Np - N), (0, Dp - D)))
+        v = jnp.pad(v, ((0, 0), (0, Np - N), (0, Dp - Dv)))
+    return q, k, v, Np, Dp
+
+
+def _pad_rows(x, Np, fill=0.0):
+    """[H, N] row statistic -> [H, Np, 1] kernel operand."""
+    H, N = x.shape
+    if Np != N:
+        x = jnp.pad(x, ((0, 0), (0, Np - N)), constant_values=fill)
+    return x[..., None]
+
+
+def _band_lse1(q, k, mask_blocks, cplan, scale, *, metric, block_m,
+               block_n, bf16):
+    """Compact lse1 walk: [H, N] first-softmax logsumexp of the band
+    scores (LSE_DEAD on rows with no band edge)."""
+    H, N, D = q.shape
+    q, k, _, Np, Dp = _pad_ops(q, k, q, block_m, block_n)
+    jlist, jcount, jslot = cplan
+    n_i = Np // block_m
+    n_walk = jlist.shape[1]
+    packed = mask_blocks.shape[-1] * 8 == block_n
+    mw = mask_blocks.shape[-1]
+    lse1 = _pcall(
+        functools.partial(_lse1_kernel, metric=metric, n_j=n_walk,
+                          true_d=D, bf16=bf16, packed=packed,
+                          compact=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4, grid=(H, n_i, n_walk),
+            in_specs=[
+                _b((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0)),
+                _b((1, block_n, Dp),
+                   lambda h, i, j, jl, jc, js, sc: (h, jl[i, j], 0)),
+                _b((1, block_m, mw),
+                   lambda h, i, j, jl, jc, js, sc: (js[i, j], 0, 0)),
+            ],
+            out_specs=_b((1, block_m, 1), lambda h, i, j, *_: (h, i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_m, 1), jnp.float32),
+                            pltpu.VMEM((block_m, 1), jnp.float32)]),
+        out_shape=jax.ShapeDtypeStruct((H, Np, 1), jnp.float32),
+    )(jlist, jcount.astype(jnp.int32), jslot.astype(jnp.int32),
+      scale.astype(jnp.float32), q, k, mask_blocks)
+    return lse1[:, :N, 0]
+
+
+def _band_biased_main(q, k, v, mask_blocks, bias_blocks, lse1_u, cplan,
+                      scale, seeds, *, metric, block_m, block_n, bf16,
+                      dropout_rate):
+    """Compact biased main walk with an EXTERNAL (union) lse1: returns
+    the band partial (out_b [H, N, Dv], lse2_b [H, N]) of the second
+    softmax over z = drop1(exp(s - lse1_u)) + B."""
+    H, N, D = q.shape
+    Dv = v.shape[-1]
+    q, k, v, Np, Dp = _pad_ops(q, k, v, block_m, block_n)
+    jlist, jcount, jslot = cplan
+    n_i = Np // block_m
+    n_walk = jlist.shape[1]
+    packed = mask_blocks.shape[-1] * 8 == block_n
+    mw = mask_blocks.shape[-1]
+    lse1_i = _pad_rows(lse1_u, Np, fill=LSE_DEAD)
+    kv = _b((1, block_n, Dp),
+            lambda h, i, j, jl, jc, js, sc, sd: (h, jl[i, j], 0))
+    out, lse2 = _pcall(
+        functools.partial(_flash_biased_kernel, metric=metric,
+                          n_j=n_walk, true_d=D, bf16=bf16,
+                          dropout_rate=dropout_rate, block_m=block_m,
+                          block_n=block_n, packed=packed, compact=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5, grid=(H, n_i, n_walk),
+            in_specs=[
+                _b((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0)),
+                kv, kv,
+                _b((1, block_m, mw),
+                   lambda h, i, j, jl, jc, js, sc, sd: (js[i, j], 0, 0)),
+                _b((1, block_m, block_n),
+                   lambda h, i, j, jl, jc, js, sc, sd: (js[i, j], 0, 0)),
+                _b((1, block_m, 1), lambda h, i, j, *_: (h, i, 0)),
+            ],
+            out_specs=(
+                _b((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0)),
+                _b((1, block_m, 1), lambda h, i, j, *_: (h, i, 0)),
+            ),
+            scratch_shapes=[pltpu.VMEM((block_m, Dp), jnp.float32),
+                            pltpu.VMEM((block_m, 1), jnp.float32),
+                            pltpu.VMEM((block_m, 1), jnp.float32)]),
+        out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), q.dtype),
+                   jax.ShapeDtypeStruct((H, Np, 1), jnp.float32)),
+    )(jlist, jcount.astype(jnp.int32), jslot.astype(jnp.int32),
+      scale.astype(jnp.float32), seeds, q, k, v, mask_blocks,
+      bias_blocks, lse1_i)
+    return out[:, :N, :Dv], lse2[:, :N, 0]
+
+
+def _band_bwd_pre(q, k, v, mask_blocks, bias_blocks, do, lse1_u, lse2_u,
+                  delta2, cplan, scale, seeds, *, metric, block_m,
+                  block_n, bf16, dropout_rate):
+    """Walk A (compact): returns (delta1_band [H, N],
+    dbias_blocks [S+1, BM, BN]) — slot S is a trash slot absorbing the
+    writes of empty/padded walk steps (their output DMA fires whether or
+    not the kernel wrote the buffer)."""
+    H, N, D = q.shape
+    q, k, v, Np, Dp = _pad_ops(q, k, v, block_m, block_n)
+    do = jnp.pad(do, ((0, 0), (0, Np - N), (0, Dp - do.shape[-1]))) \
+        if (do.shape[-2] != Np or do.shape[-1] != Dp) else do
+    jlist, jcount, jslot = cplan
+    n_i = Np // block_m
+    n_walk = jlist.shape[1]
+    S = mask_blocks.shape[0]
+    packed = mask_blocks.shape[-1] * 8 == block_n
+    mw = mask_blocks.shape[-1]
+    # padded / empty walk entries write the trash slot S
+    live = jnp.arange(n_walk)[None, :] < jcount[:, None]
+    js_db = jnp.where(live, jslot, S).astype(jnp.int32)
+    lse1_i = _pad_rows(lse1_u, Np, fill=LSE_DEAD)
+    lse2_i = _pad_rows(lse2_u, Np, fill=LSE_DEAD)
+    delta2_i = _pad_rows(delta2, Np)
+    a_q = _b((1, block_m, Dp), lambda i, j, h, *_: (h, i, 0))
+    a_k = _b((1, block_n, Dp),
+             lambda i, j, h, jl, jc, js, jd, sc, sd: (h, jl[i, j], 0))
+    a_mask = _b((1, block_m, mw),
+                lambda i, j, h, jl, jc, js, jd, sc, sd: (js[i, j], 0, 0))
+    a_bias = _b((1, block_m, block_n),
+                lambda i, j, h, jl, jc, js, jd, sc, sd: (js[i, j], 0, 0))
+    a_row = _b((1, block_m, 1), lambda i, j, h, *_: (h, i, 0))
+    delta1, dbias = _pcall(
+        functools.partial(_biased_bwd_pre_kernel, metric=metric,
+                          n_j=n_walk, n_h=H, true_d=D, bf16=bf16,
+                          dropout_rate=dropout_rate, block_m=block_m,
+                          block_n=block_n, packed=packed, compact=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6, grid=(n_i, n_walk, H),
+            in_specs=[a_q, a_k, a_k, a_mask, a_bias, a_q, a_row, a_row,
+                      a_row],
+            out_specs=(
+                _b((block_m, H), lambda i, j, h, *_: (i, 0)),
+                _b((1, block_m, block_n),
+                   lambda i, j, h, jl, jc, js, jd, sc, sd:
+                   (jd[i, j], 0, 0)),
+            ),
+            scratch_shapes=[pltpu.VMEM((block_m, H), jnp.float32),
+                            pltpu.VMEM((block_m, block_n),
+                                       jnp.float32)]),
+        out_shape=(jax.ShapeDtypeStruct((Np, H), jnp.float32),
+                   jax.ShapeDtypeStruct((S + 1, block_m, block_n),
+                                        jnp.float32)),
+    )(jlist, jcount.astype(jnp.int32), jslot.astype(jnp.int32), js_db,
+      scale.astype(jnp.float32), seeds, q, k, v, mask_blocks,
+      bias_blocks, do, lse1_i, lse2_i, delta2_i)
+    return delta1[:N].T, dbias
+
+
+def _band_bwd_dq_dkv(q, k, v, mask_blocks, bias_blocks, do, lse1_u,
+                     lse2_u, delta2, delta1_u, cplan, cplan_t, scale,
+                     seeds, *, metric, block_m, block_n, bf16,
+                     dropout_rate, need_dscale):
+    """Walks B and C (compact) with UNION row statistics: returns
+    (dq, dk, dv[, dscale]) — the band contributions."""
+    H, N, D = q.shape
+    Dv = v.shape[-1]
+    q, k, v, Np, Dp = _pad_ops(q, k, v, block_m, block_n)
+    do = jnp.pad(do, ((0, 0), (0, Np - N), (0, Dp - do.shape[-1]))) \
+        if (do.shape[-2] != Np or do.shape[-1] != Dp) else do
+    jlist, jcount, jslot = cplan
+    ilist, icount, islot = cplan_t
+    n_i = Np // block_m
+    n_j = Np // block_n
+    n_walk_j = jlist.shape[1]
+    n_walk_i = ilist.shape[1]
+    packed = mask_blocks.shape[-1] * 8 == block_n
+    mw = mask_blocks.shape[-1]
+    lse1_i = _pad_rows(lse1_u, Np, fill=LSE_DEAD)
+    lse2_i = _pad_rows(lse2_u, Np, fill=LSE_DEAD)
+    delta2_i = _pad_rows(delta2, Np)
+    delta1_full = delta1_u.T                   # [N, H]
+    if Np != N:
+        delta1_full = jnp.pad(delta1_full, ((0, Np - N), (0, 0)))
+    scale32 = scale.astype(jnp.float32)
+
+    # --- walk B: dq (+ dscale), grid (H, n_i, n_walk_j)
+    b_q = _b((1, block_m, Dp), lambda h, i, j, *_: (h, i, 0))
+    b_k = _b((1, block_n, Dp),
+             lambda h, i, j, jl, jc, js, sc, sd: (h, jl[i, j], 0))
+    b_mask = _b((1, block_m, mw),
+                lambda h, i, j, jl, jc, js, sc, sd: (js[i, j], 0, 0))
+    b_bias = _b((1, block_m, block_n),
+                lambda h, i, j, jl, jc, js, sc, sd: (js[i, j], 0, 0))
+    b_row = _b((1, block_m, 1), lambda h, i, j, *_: (h, i, 0))
+    b_d1 = _b((block_m, H), lambda h, i, j, *_: (i, 0))
+    out_specs = b_q
+    out_shape = jax.ShapeDtypeStruct((H, Np, Dp), q.dtype)
+    scratch = [pltpu.VMEM((block_m, Dp), jnp.float32)]
+    if need_dscale:
+        out_specs = (out_specs,
+                     _b((H, n_i), lambda h, i, j, *_: (0, 0)))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((H, n_i), jnp.float32))
+        scratch.append(pltpu.VMEM((1, 1), jnp.float32))
+    dq_res = _pcall(
+        functools.partial(_biased_bwd_dq_kernel, metric=metric,
+                          n_j=n_walk_j, true_d=D, bf16=bf16,
+                          dropout_rate=dropout_rate, block_m=block_m,
+                          block_n=block_n, need_dscale=need_dscale,
+                          packed=packed, compact=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5, grid=(H, n_i, n_walk_j),
+            in_specs=[b_q, b_k, b_k, b_mask, b_bias, b_q, b_row, b_row,
+                      b_row, b_d1],
+            out_specs=out_specs, scratch_shapes=scratch),
+        out_shape=out_shape,
+    )(jlist, jcount.astype(jnp.int32), jslot.astype(jnp.int32),
+      scale32, seeds, q, k, v, mask_blocks, bias_blocks, do,
+      lse1_i, lse2_i, delta2_i, delta1_full)
+    if need_dscale:
+        dq, dsc = dq_res
+        dscale = jnp.sum(dsc, axis=1)
+    else:
+        dq = dq_res
+        dscale = None
+
+    # --- walk C: dk/dv, grid (H, n_j, n_walk_i), transposed plan
+    c_q = _b((1, block_m, Dp),
+             lambda h, j, i, il, ic, isl, sc, sd: (h, il[j, i], 0))
+    c_kv = _b((1, block_n, Dp), lambda h, j, i, *_: (h, j, 0))
+    c_mask = _b((1, block_m, mw),
+                lambda h, j, i, il, ic, isl, sc, sd: (isl[j, i], 0, 0))
+    c_bias = _b((1, block_m, block_n),
+                lambda h, j, i, il, ic, isl, sc, sd: (isl[j, i], 0, 0))
+    c_row = _b((1, block_m, 1),
+               lambda h, j, i, il, ic, isl, sc, sd: (h, il[j, i], 0))
+    c_d1 = _b((block_m, H),
+              lambda h, j, i, il, ic, isl, sc, sd: (il[j, i], 0))
+    dk, dv = _pcall(
+        functools.partial(_biased_bwd_dkv_kernel, metric=metric,
+                          n_i=n_walk_i, true_d=D, bf16=bf16,
+                          dropout_rate=dropout_rate, block_m=block_m,
+                          block_n=block_n, packed=packed, compact=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5, grid=(H, n_j, n_walk_i),
+            in_specs=[c_q, c_kv, c_kv, c_mask, c_bias, c_q, c_row,
+                      c_row, c_row, c_d1],
+            out_specs=(c_kv, c_kv),
+            scratch_shapes=[pltpu.VMEM((block_n, Dp), jnp.float32),
+                            pltpu.VMEM((block_n, Dp), jnp.float32)]),
+        out_shape=(jax.ShapeDtypeStruct((H, Np, Dp), k.dtype),
+                   jax.ShapeDtypeStruct((H, Np, Dp), v.dtype)),
+    )(ilist, icount.astype(jnp.int32), islot.astype(jnp.int32),
+      scale32, seeds, q, k, v, mask_blocks, bias_blocks, do,
+      lse1_i, lse2_i, delta2_i, delta1_full)
+    res = (dq[:, :N, :D], dk[:, :N, :D], dv[:, :N, :Dv])
+    if need_dscale:
+        return res + (dscale,)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Residual (padded-layout) passes
+# ---------------------------------------------------------------------------
+
+def _res_lse1(metric, q, k, nbr, nval, scale, true_d):
+    """First-softmax logsumexp over residual slots: [H, N] with
+    LSE_DEAD on rows without residual edges."""
+    k_e = jnp.take(k, nbr, axis=1)
+    s, _, _ = _pp_scores_aux(metric, q, k_e, scale, true_d)
+    s = jnp.where(nval[None], s, NEG_INF)
+    m = jnp.max(s, axis=-1)
+    dead = m <= NEG_INF * 0.5
+    m_safe = jnp.where(dead, 0.0, m)
+    l = jnp.sum(jnp.exp(s - m_safe[..., None]) * nval[None], axis=-1)
+    l = jnp.where(l == 0, 1.0, l)
+    return jnp.where(dead, LSE_DEAD, m_safe + jnp.log(l))
+
+
+def _res_biased_partial(metric, q, k, v, nbr, nval, bias_res, lse1_u,
+                        kap1, kap2, scale, true_d):
+    """Residual partial of the SECOND softmax given the union lse1:
+    (out_r [H, N, Dv], lse2_r [H, N]). kap1/kap2 are inverted-dropout
+    keep factors (all-ones when eval)."""
+    k_e = jnp.take(k, nbr, axis=1)
+    s, _, _ = _pp_scores_aux(metric, q, k_e, scale, true_d)
+    w1 = jnp.where(nval[None],
+                   jnp.exp(s - _row_safe(lse1_u)[..., None]), 0.0)
+    z = jnp.where(nval[None], w1 * kap1 + bias_res[None], NEG_INF)
+    m2 = jnp.max(z, axis=-1)
+    dead = m2 <= NEG_INF * 0.5
+    m2s = jnp.where(dead, 0.0, m2)
+    e2 = jnp.exp(z - m2s[..., None]) * nval[None]
+    l2 = jnp.sum(e2, axis=-1)
+    l2s = jnp.where(l2 == 0, 1.0, l2)
+    p2 = e2 / l2s[..., None]
+    v_e = jnp.take(v, nbr, axis=1)
+    out = jnp.sum((p2 * kap2)[..., None] * v_e, axis=-2)
+    lse2 = jnp.where(dead, LSE_DEAD, m2s + jnp.log(l2s))
+    return out, lse2
+
+
+def _res_bwd_query(metric, q, k, v, g, nbr, nval, bias_res, lse1_u,
+                   lse2_u, delta2, kap1, kap2, scale, true_d):
+    """Residual backward, query layout: returns (dz [H, N, W] for dB,
+    delta1_res [H, N], and a continuation closure that — given the
+    union delta1 — yields (dq_r, dscale_r))."""
+    k_e = jnp.take(k, nbr, axis=1)
+    s, sq, qk = _pp_scores_aux(metric, q, k_e, scale, true_d)
+    w1 = jnp.where(nval[None],
+                   jnp.exp(s - _row_safe(lse1_u)[..., None]), 0.0)
+    z = w1 * kap1 + bias_res[None]
+    w2 = jnp.where(nval[None],
+                   jnp.exp(z - _row_safe(lse2_u)[..., None]), 0.0)
+    dp2 = jnp.sum(g[:, :, None, :] * jnp.take(v, nbr, axis=1), axis=-1)
+    dz = w2 * (dp2 * kap2 - delta2[..., None])
+    dz = jnp.where(nval[None], dz, 0.0)
+    dw1 = kap1 * dz
+    delta1_res = jnp.sum(w1 * dw1, axis=-1)
+
+    def finish(delta1_u):
+        ds = w1 * (dw1 - delta1_u[..., None])
+        ds = jnp.where(nval[None], ds, 0.0)
+        dq_r = _pp_chain_drow(metric, ds, s, sq, qk, q, k_e, scale,
+                              true_d)
+        dsc = _pp_dscale(metric, ds, s, sq, scale)
+        return dq_r, dsc
+
+    return dz, delta1_res, finish
+
+
+def _res_bwd_key(metric, q, k, v, g, inc, inc_slot, ival, bias_res,
+                 lse1_u, lse2_u, delta2, kap1, kap2, delta1_u, scale,
+                 true_d):
+    """Residual backward, transposed key layout (no scatter): returns
+    (dk_r, dv_r). Per-edge quantities are re-derived through the
+    incidence tables; the SAME keep factors are read via inc_slot."""
+    q_e = jnp.take(q, inc, axis=1)                   # [H, N, Wt, D]
+    s_t, sq_t, qk_t = _pp_scores_aux(metric, k, q_e, scale, true_d)
+    lse1_i = jnp.take(_row_safe(lse1_u), inc, axis=1)
+    lse2_i = jnp.take(_row_safe(lse2_u), inc, axis=1)
+    delta2_i = jnp.take(delta2, inc, axis=1)
+    delta1_i = jnp.take(delta1_u, inc, axis=1)
+    kap1_t = kap1[:, inc, inc_slot]
+    kap2_t = kap2[:, inc, inc_slot]
+    b_t = bias_res[inc, inc_slot][None]
+    w1_t = jnp.where(ival[None], jnp.exp(s_t - lse1_i), 0.0)
+    z_t = w1_t * kap1_t + b_t
+    w2_t = jnp.where(ival[None], jnp.exp(z_t - lse2_i), 0.0)
+    g_i = jnp.take(g, inc, axis=1)                   # [H, N, Wt, Dv]
+    dp2_t = jnp.sum(g_i * v[:, :, None, :], axis=-1)
+    dz_t = w2_t * (dp2_t * kap2_t - delta2_i)
+    dz_t = jnp.where(ival[None], dz_t, 0.0)
+    dw1_t = kap1_t * dz_t
+    ds_t = w1_t * (dw1_t - delta1_i)
+    ds_t = jnp.where(ival[None], ds_t, 0.0)
+    dk_r = _pp_chain_drow(metric, ds_t, s_t, sq_t, qk_t, k, q_e, scale,
+                          true_d)
+    dv_r = jnp.sum((w2_t * kap2_t)[..., None] * g_i, axis=-2)
+    return dk_r, dv_r
+
+
+# ---------------------------------------------------------------------------
+# The unified custom_vjp
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(21, 22, 23, 24, 25))
+def _hybrid_biased(q, k, v, scale, bias_blocks, bias_res, mask_blocks,
+                   jlist, jcount, jslot, ilist, icount, islot, nbr,
+                   nval, inc, inc_slot, ival, kap1, kap2, seeds,
+                   metric, block_m, block_n, bf16, dropout_rate):
+    out, _ = _hybrid_biased_fwd(q, k, v, scale, bias_blocks, bias_res,
+                                mask_blocks, jlist, jcount, jslot,
+                                ilist, icount, islot, nbr, nval, inc,
+                                inc_slot, ival, kap1, kap2, seeds,
+                                metric, block_m, block_n, bf16,
+                                dropout_rate)
+    return out
+
+
+def _hybrid_biased_fwd(q, k, v, scale, bias_blocks, bias_res,
+                       mask_blocks, jlist, jcount, jslot, ilist, icount,
+                       islot, nbr, nval, inc, inc_slot, ival, kap1,
+                       kap2, seeds, metric, block_m, block_n, bf16,
+                       dropout_rate):
+    from ..sparse import merge_attention_partials
+    D = q.shape[-1]
+    cplan = (jlist, jcount, jslot)
+    lse1_b = _band_lse1(q, k, mask_blocks, cplan, scale, metric=metric,
+                        block_m=block_m, block_n=block_n, bf16=bf16)
+    lse1_r = _res_lse1(metric, q, k, nbr, nval, scale, D)
+    lse1_u = _lse_union(lse1_b, lse1_r)
+    band = _band_biased_main(q, k, v, mask_blocks, bias_blocks, lse1_u,
+                             cplan, scale, seeds, metric=metric,
+                             block_m=block_m, block_n=block_n,
+                             bf16=bf16, dropout_rate=dropout_rate)
+    res = _res_biased_partial(metric, q, k, v, nbr, nval, bias_res,
+                              lse1_u, kap1, kap2, scale, D)
+    out, lse2_u = merge_attention_partials([band, res])
+    saved = (q, k, v, scale, bias_blocks, bias_res, mask_blocks, jlist,
+             jcount, jslot, ilist, icount, islot, nbr, nval, inc,
+             inc_slot, ival, kap1, kap2, seeds, lse1_u, lse2_u, out)
+    return out, saved
+
+
+def _hybrid_biased_bwd(metric, block_m, block_n, bf16, dropout_rate,
+                       saved, g):
+    (q, k, v, scale, bias_blocks, bias_res, mask_blocks, jlist, jcount,
+     jslot, ilist, icount, islot, nbr, nval, inc, inc_slot, ival, kap1,
+     kap2, seeds, lse1_u, lse2_u, out) = saved
+    D = q.shape[-1]
+    need_dscale = metric in SCALED_METRICS
+    cplan = (jlist, jcount, jslot)
+    cplan_t = (ilist, icount, islot)
+    delta2 = jnp.sum(g * out, axis=-1)                     # [H, N]
+
+    delta1_b, dbias_blocks = _band_bwd_pre(
+        q, k, v, mask_blocks, bias_blocks, g, lse1_u, lse2_u, delta2,
+        cplan, scale, seeds, metric=metric, block_m=block_m,
+        block_n=block_n, bf16=bf16, dropout_rate=dropout_rate)
+    dz_r, delta1_r, finish_q = _res_bwd_query(
+        metric, q, k, v, g, nbr, nval, bias_res, lse1_u, lse2_u,
+        delta2, kap1, kap2, scale, D)
+    delta1_u = delta1_b + delta1_r
+
+    band_grads = _band_bwd_dq_dkv(
+        q, k, v, mask_blocks, bias_blocks, g, lse1_u, lse2_u, delta2,
+        delta1_u, cplan, cplan_t, scale, seeds, metric=metric,
+        block_m=block_m, block_n=block_n, bf16=bf16,
+        dropout_rate=dropout_rate, need_dscale=need_dscale)
+    if need_dscale:
+        dq_b, dk_b, dv_b, dscale_b = band_grads
+    else:
+        dq_b, dk_b, dv_b = band_grads
+        dscale_b = jnp.zeros_like(scale)
+
+    dq_r, dscale_r = finish_q(delta1_u)
+    dk_r, dv_r = _res_bwd_key(
+        metric, q, k, v, g, inc, inc_slot, ival, bias_res, lse1_u,
+        lse2_u, delta2, kap1, kap2, delta1_u, scale, D)
+
+    # bias is head-shared: sum dz over heads. The trash slot (index S)
+    # of the band dbias is dropped here.
+    dbias_blocks = dbias_blocks[:mask_blocks.shape[0]]
+    dbias_res = jnp.sum(jnp.where(nval[None], dz_r, 0.0), axis=0)
+
+    dscale = (dscale_b + dscale_r).astype(scale.dtype) if need_dscale \
+        else jnp.zeros_like(scale)
+    return (dq_b + dq_r, dk_b + dk_r, dv_b + dv_r, dscale,
+            dbias_blocks, dbias_res,
+            None, None, None, None, None, None, None, None, None, None,
+            None, None, None, None, None)
+
+
+_hybrid_biased.defvjp(_hybrid_biased_fwd, _hybrid_biased_bwd)
+
+
+def hybrid_biased_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,          # [H, N, D]
+    mask_blocks: jax.Array,                            # i8[S, BM, mw]
+    cplan, cplan_t,                                    # 3-tuples
+    res_pad,                          # (nbr, nval, inc, inc_slot, ival)
+    bias_blocks: jax.Array,                            # f32[S, BM, BN]
+    bias_res: jax.Array,                               # f32[N, dmax]
+    metric: str = "scaled_dot_product",
+    scale_param: Optional[jax.Array] = None,
+    block_m: int = 512, block_n: int = 1024, bf16: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seeds: Optional[jax.Array] = None,         # i32[2] band
+    dropout_rng: Optional[jax.Array] = None,           # residual keys
+) -> jax.Array:
+    """Edge-biased hybrid attention (band + residual, union-exact double
+    softmax — module docstring). Returns [H, N, Dv] context; rows with
+    no edge anywhere come back zero.
+
+    ``bias_blocks`` carries the band edges' head-shared bias values in
+    the SAME compact slot layout as ``mask_blocks`` (zero at non-edge
+    positions — self loops carry zero bias like the dense diagonal);
+    ``bias_res`` the residual values in the padded query layout.
+    For the cosine metrics pass q/k L2-normalized (callers run the
+    normalization outside so autodiff pulls the chain back); for
+    mahalanobis pass factor-space q/k with metric='euclidean'."""
+    if metric not in MXU_METRICS:
+        raise NotImplementedError(metric)
+    H, N, _ = q.shape
+    if scale_param is None:
+        scale_param = jnp.ones((H,), jnp.float32)
+    if dropout_rate > 0.0 and (dropout_seeds is None
+                               or dropout_rng is None):
+        raise ValueError("dropout_rate > 0 needs dropout_seeds (band) "
+                         "and dropout_rng (residual)")
+    nbr, nval, inc, inc_slot, ival = res_pad
+    if dropout_rate > 0.0:
+        seeds = jnp.asarray(dropout_seeds, jnp.int32).reshape((-1,))
+        if seeds.shape[0] < 2:
+            seeds = jnp.concatenate(
+                [seeds, seeds ^ jnp.asarray([0x5BD1E995], jnp.int32)])
+        seeds = seeds[:2]
+        keep_p = 1.0 - dropout_rate
+        r1, r2 = jax.random.split(dropout_rng)
+        shp = (H,) + nbr.shape
+        kap1 = jnp.where(jax.random.bernoulli(r1, keep_p, shp),
+                         1.0 / keep_p, 0.0)
+        kap2 = jnp.where(jax.random.bernoulli(r2, keep_p, shp),
+                         1.0 / keep_p, 0.0)
+    else:
+        seeds = jnp.zeros((2,), jnp.int32)
+        kap1 = kap2 = jnp.ones((H,) + nbr.shape, q.dtype)
+    return _hybrid_biased(q, k, v, scale_param, bias_blocks, bias_res,
+                          mask_blocks, *cplan, *cplan_t, nbr, nval, inc,
+                          inc_slot, ival, kap1, kap2, seeds, metric,
+                          block_m, block_n, bf16, dropout_rate)

@@ -380,3 +380,235 @@ def test_with_hybrid_plan_hub_falls_back_to_coo():
     np.testing.assert_allclose(np.asarray(out_coo.logits),
                                np.asarray(out_pad.logits),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Edge-biased hybrid (VERDICT r3 item 3): union-exact double softmax
+# ---------------------------------------------------------------------------
+
+def _biased_setup(seed=7, N=96, BM=32, BN=32, width=24):
+    """Deduped banded graph + compact band structures + padded residual
+    tables + per-edge bias placed in both layouts."""
+    from tagan_tpu.core.graph import pad_residual_edges
+    rng = np.random.default_rng(seed)
+    E = 220
+    src = rng.integers(0, N, E)
+    sel = rng.random(E) < 0.8
+    near = np.clip(src + rng.integers(-width, width + 1, E), 0, N - 1)
+    dst = np.where(sel, near, rng.integers(0, N, E))
+    # dedup: the dense mask dedups, the padded tables do not
+    uniq = {}
+    for i, (a, b) in enumerate(zip(src, dst)):
+        uniq[(int(a), int(b))] = i
+    keep = sorted(uniq.values())
+    src, dst = src[keep], dst[keep]
+    E = len(src)
+    nm = rng.random(N) < 0.95
+    em = (rng.random(E) < 0.9) & nm[src] & nm[dst]
+    gap = np.abs(src - dst)
+    band = em & (gap <= width)
+    res = em & ~band
+    b_all = rng.standard_normal(E).astype(np.float32) * 0.7
+
+    d = np.arange(N)
+    adj = np.zeros((N, N), bool)
+    adj[src[em], dst[em]] = True
+    adj[d[nm], d[nm]] = True
+    Bd = np.zeros((N, N), np.float32)
+    Bd[src[em], dst[em]] = b_all[em]
+
+    band_adj = np.zeros((N, N), bool)
+    band_adj[src[band], dst[band]] = True
+    band_adj[d[nm], d[nm]] = True
+    S_slots = FG.occupied_blocks_total(band_adj, BM, BN)
+    mask_blocks, cplan, cplan_t = FG.make_compact_structure_from_edges(
+        jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+        jnp.asarray(band), jnp.asarray(nm), N, BM, BN,
+        max_slots=S_slots)
+
+    Np = ((N + max(BM, BN) - 1) // max(BM, BN)) * max(BM, BN)
+    n_i, n_j = Np // BM, Np // BN
+    occ = np.zeros((n_i, n_j), bool)
+    bs, bd = src[band], dst[band]
+    occ[bs // BM, bd // BN] = True
+    occ[d[nm] // BM, d[nm] // BN] = True
+    slot_mat = np.cumsum(occ.reshape(-1)).astype(np.int32) - 1
+    bias_blocks = np.zeros((S_slots, BM, BN), np.float32)
+    slot_e = slot_mat[(bs // BM) * n_j + bd // BN]
+    np.add.at(bias_blocks, (slot_e, bs % BM, bd % BN), b_all[band])
+
+    pads = pad_residual_edges(src, dst, res, N, edge_ids=np.arange(E))
+    nbr, nval, inc, inc_slot, ival, bid = [np.asarray(x) for x in pads]
+    bias_res = np.where(bid >= 0, b_all[np.clip(bid, 0, E - 1)],
+                        0.0).astype(np.float32)
+    res_pad = tuple(jnp.asarray(x)
+                    for x in (nbr, nval, inc, inc_slot, ival))
+    return dict(src=src, dst=dst, em=em, band=band, res=res, nm=nm,
+                adj=adj, Bd=jnp.asarray(Bd),
+                mask_blocks=mask_blocks, cplan=cplan, cplan_t=cplan_t,
+                bias_blocks=jnp.asarray(bias_blocks),
+                bias_res=jnp.asarray(bias_res), res_pad=res_pad,
+                slot_e=slot_e, bid=bid, BM=BM, BN=BN)
+
+
+@pytest.mark.parametrize("metric,learnable", [
+    ("scaled_dot_product", False), ("gaussian_kernel", True),
+    ("cosine_similarity", False)])
+def test_hybrid_biased_matches_dense_double_softmax(metric, learnable):
+    """hybrid_biased_attention == the dense double softmax
+    softmax(softmax(s) + B) over the union edge set: forward, q/k/v
+    grads, per-edge bias grads in BOTH layouts, and d(scale)."""
+    from tagan_tpu.ops.distances import pairwise_scores
+    from tagan_tpu.ops.masked import masked_softmax
+    from tagan_tpu.ops.pallas.hybrid_biased import hybrid_biased_attention
+    st = _biased_setup()
+    N, H, Dh = 96, 2, 8
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((H, N, Dh)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, H), jnp.float32) \
+        if learnable else None
+    nm = st["nm"]
+    pair = nm[:, None] & nm[None, :]
+    mask_d = jnp.asarray(st["adj"] & pair)
+
+    def oracle(q, k, v, Bd, sc_):
+        kwx = {"gaussian_kernel": dict(sigma=sc_)}.get(metric, {})
+        s = pairwise_scores(metric, q, k, **kwx)
+        w1 = masked_softmax(s, mask_d[None])
+        w2 = masked_softmax(w1 + Bd[None], mask_d[None])
+        return jnp.einsum("hij,hjd->hid", w2, v)
+
+    def hyb(q, k, v, bb, br, sc_):
+        if metric.startswith("cosine"):
+            q, k = FG._l2_normalize(q), FG._l2_normalize(k)
+        return hybrid_biased_attention(
+            q, k, v, st["mask_blocks"], st["cplan"], st["cplan_t"],
+            st["res_pad"], bb, br, metric=metric, scale_param=sc_,
+            block_m=st["BM"], block_n=st["BN"])
+
+    o1 = oracle(q, k, v, st["Bd"], scale)
+    o2 = hyb(q, k, v, st["bias_blocks"], st["bias_res"], scale)
+    np.testing.assert_allclose(np.asarray(o2)[:, nm],
+                               np.asarray(o1)[:, nm],
+                               rtol=2e-4, atol=2e-5)
+
+    msk = jnp.asarray(nm)[None, :, None]
+    args = (0, 1, 2, 3) + ((5,) if learnable else ())
+    go = jax.grad(lambda *a: jnp.sum(jnp.where(
+        msk, oracle(a[0], a[1], a[2], a[3], a[5]), 0.0) ** 2),
+        argnums=args)(q, k, v, st["Bd"], None, scale)
+    gh = jax.grad(lambda *a: jnp.sum(jnp.where(
+        msk, hyb(a[0], a[1], a[2], a[3], a[4], a[5]), 0.0) ** 2),
+        argnums=(0, 1, 2, 3, 4) + ((5,) if learnable else ()))(
+        q, k, v, st["bias_blocks"], st["bias_res"], scale)
+    for a, b in zip(go[:3], gh[:3]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
+    if learnable:
+        np.testing.assert_allclose(np.asarray(gh[5]), np.asarray(go[3 + 1]),
+                                   rtol=2e-3, atol=2e-4)
+    # bias grads: band slots + residual table positions vs the dense B
+    dBd = np.asarray(go[3])
+    bs, bd = st["src"][st["band"]], st["dst"][st["band"]]
+    db_band = np.asarray(gh[3])[st["slot_e"], bs % st["BM"],
+                                bd % st["BN"]]
+    np.testing.assert_allclose(db_band, dBd[bs, bd], rtol=2e-4,
+                               atol=2e-4)
+    bid = st["bid"]
+    db_res = np.asarray(gh[4])
+    rs_idx = np.nonzero(st["res"])[0]
+    vals = {int(bid[i, s]): db_res[i, s] for i in range(N)
+            for s in range(bid.shape[1]) if bid[i, s] >= 0}
+    if len(rs_idx):
+        dr = np.array([vals[int(i)] for i in rs_idx])
+        np.testing.assert_allclose(
+            dr, dBd[st["src"][st["res"]], st["dst"][st["res"]]],
+            rtol=2e-4, atol=2e-4)
+
+
+def _hybrid_edge_feature_seqs(seed=61, num_samples=2):
+    from tagan_tpu.data.synthetic import create_synthetic_data
+    data = create_synthetic_data(
+        num_samples=num_samples, sequence_length=3,
+        num_nodes_range=(40, 48), node_feature_dim=8,
+        edge_feature_dim=4, seed=seed)
+    T_, N, E, Fe = tt.pad_dims_for([s for s, _ in data])
+    seqs = [tt.build_sequence(s, max_nodes=N, max_edges=max(E, 1),
+                              max_time=T_, edge_feature_dim=Fe)
+            .with_hybrid_plan(band_width=8, block_m=16, block_n=16,
+                              padded_residual=True)
+            for s, _ in data]
+    labels = jnp.asarray([float(l) for _, l in data])
+    return seqs, labels, Fe
+
+
+def test_hybrid_model_edge_bias_matches_dense():
+    """use_edge_features on the hybrid backend (VERDICT r3 item 3): the
+    per-layer bias rides the compact band store + padded residual
+    provenance and the model matches the dense backend — logits and one
+    SGD step of grads."""
+    import optax
+    seqs, labels, Fe = _hybrid_edge_feature_seqs()
+    base = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=2,
+                          node_feature_dim=8, edge_feature_dim=Fe,
+                          use_edge_features=True, output_dim=1,
+                          loss_type="bce", dropout=0.0)
+    dense = tt.TAGAN(base)
+    hyb = tt.TAGAN(base.replace(spatial_backend="hybrid"))
+    params = dense.init(jax.random.key(0))
+    for seq in seqs:
+        d = jax.jit(lambda p, s: dense(p, s).logits)(params, seq)
+        h = jax.jit(lambda p, s: hyb(p, s).logits)(params, seq)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(d),
+                                   rtol=2e-4, atol=2e-5)
+    tx = optax.sgd(0.1)
+
+    def one_step(model, pp, seq, label):
+        loss, g = jax.value_and_grad(
+            lambda p_: model(p_, seq, label).loss)(pp)
+        upd, _ = tx.update(g, tx.init(pp), pp)
+        return loss, optax.apply_updates(pp, upd)
+
+    l_d, p_d = jax.jit(lambda p_: one_step(dense, p_, seqs[0],
+                                           labels[0]))(params)
+    l_h, p_h = jax.jit(lambda p_: one_step(hyb, p_, seqs[0],
+                                           labels[0]))(params)
+    np.testing.assert_allclose(float(l_d), float(l_h), rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_d),
+            jax.tree_util.tree_leaves_with_path(p_h)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-5,
+                                   err_msg=str(ka))
+
+
+def test_hybrid_model_edge_bias_dropout():
+    """Biased hybrid in train mode: eval matches dense, stochastic
+    forward differs per rng, grads finite and nonzero."""
+    seqs, labels, Fe = _hybrid_edge_feature_seqs(seed=67, num_samples=1)
+    seq = seqs[0]
+    cfg = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=2,
+                         node_feature_dim=8, edge_feature_dim=Fe,
+                         use_edge_features=True, output_dim=1,
+                         loss_type="bce", dropout=0.4,
+                         spatial_backend="hybrid")
+    hyb = tt.TAGAN(cfg)
+    dense = tt.TAGAN(cfg.replace(spatial_backend="dense"))
+    params = hyb.init(jax.random.key(0))
+    det = jax.jit(lambda p: hyb(p, seq).logits)(params)
+    d = jax.jit(lambda p: dense(p, seq).logits)(params)
+    np.testing.assert_allclose(np.asarray(det), np.asarray(d),
+                               rtol=2e-4, atol=2e-5)
+    tr = jax.jit(lambda p, r: hyb(p, seq, deterministic=False,
+                                  rng=r).logits)
+    t1, t2 = tr(params, jax.random.key(1)), tr(params, jax.random.key(2))
+    assert not np.allclose(np.asarray(det), np.asarray(t1), atol=1e-5)
+    assert not np.allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+    g = jax.jit(jax.grad(
+        lambda p, r: hyb(p, seq, labels[0], deterministic=False,
+                         rng=r).loss))(params, jax.random.key(3))
+    gn = sum(float(jnp.sum(jnp.abs(x)))
+             for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
