@@ -209,10 +209,13 @@ def part_c_hybrid(quick=False):
     mask_mb = float(np.prod(seq.hyb_mask_blocks.shape)) / 2**20
     res_edges = int(seq.hyb_res[2].sum())
     seq = jax.device_put(seq)
+    # remat=False: hybrid activations at 131K are ~70 MB/layer-pass
+    # (well within HBM) and remat would re-run the expensive sparse
+    # forward during backward — measured slower here
     cfg = tt.TAGANConfig(hidden_dim=64, num_heads=4, num_layers=2,
                          node_feature_dim=F, output_dim=1,
                          loss_type="bce", dropout=0.0,
-                         spatial_backend="hybrid", remat=True)
+                         spatial_backend="hybrid", remat=False)
     model = tt.TAGAN(cfg)
     tx = optax.adam(1e-3)
     params = model.init(jax.random.key(0))
@@ -237,6 +240,113 @@ def part_c_hybrid(quick=False):
     t0 = time.perf_counter()
     float(many(params, opt, seq))
     dt = (time.perf_counter() - t0) / ITERS
+
+    # ---- phase breakdown (VERDICT r4 item 2): time the hybrid
+    # attention's two partials in isolation (fwd+bwd through the same
+    # kernels/layouts the model uses), chained inside one jit like the
+    # full step. "rest" = full step minus the spatial encode.
+    import jax.numpy as jnp2
+    from tagan_tpu.nn.geometric import GeometricAttention
+    from tagan_tpu.ops.pallas.flash_geometric import \
+        flash_geometric_attention_lse
+    from tagan_tpu.ops import sparse as SP
+    H, Dh = cfg.num_heads, cfg.hidden_dim // cfg.num_heads
+    key = jax.random.key(7)
+    qkv = jax.random.normal(key, (3, H, N, Dh), jnp.float32)
+    reps = cfg.num_layers * T * ITERS   # layer-passes per `many`
+
+    def timeit(fn, *args):
+        jf = jax.jit(fn)
+        r = jf(*args)
+        float(jnp2.sum(r[0] if isinstance(r, tuple) else r))
+        t0 = time.perf_counter()
+        r = jf(*args)
+        float(jnp2.sum(r[0] if isinstance(r, tuple) else r))
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    mb = seq.hyb_mask_blocks
+    pl_ = tuple(a for a in seq.hyb_plan)
+    plt_ = tuple(a for a in seq.hyb_plan_t)
+
+    def band_fb(qkv):
+        def one(c, t):
+            def f(qq):
+                o, lse = flash_geometric_attention_lse(
+                    qq[0], qq[1], qq[2], mb[t],
+                    plan=tuple(x[t] for x in pl_),
+                    plan_t=tuple(x[t] for x in plt_),
+                    block_m=512, block_n=1024)
+                return jnp2.sum(o ** 2) + jnp2.sum(
+                    jnp2.where(jnp2.abs(lse) < 1e29, lse, 0.0))
+            g = jax.grad(f)(c)
+            return c + 1e-6 * g, 0
+
+        def layer(c, i):
+            c, _ = jax.lax.scan(one, c, jnp2.arange(T))
+            return c, 0
+        c, _ = jax.lax.scan(layer, qkv,
+                            jnp2.arange(cfg.num_layers * ITERS))
+        return c
+
+    def res_fb(qkv):
+        rp = seq.hyb_res_pad
+        cp = seq.hyb_res_cpad
+
+        def one(c, t):
+            def f(qq):
+                if cp is not None:
+                    o, lse = SP.edge_attention_partial_padded_compact(
+                        "scaled_dot_product", qq[0], qq[1], qq[2],
+                        tuple(tuple(a[t] for a in b) for b in cp))
+                else:
+                    o, lse = SP.edge_attention_partial_padded(
+                        "scaled_dot_product", qq[0], qq[1], qq[2],
+                        *(x[t] for x in rp))
+                return jnp2.sum(o ** 2) + jnp2.sum(
+                    jnp2.where(jnp2.abs(lse) < 1e29, lse, 0.0))
+            g = jax.grad(f)(c)
+            return c + 1e-6 * g, 0
+
+        def layer(c, i):
+            c, _ = jax.lax.scan(one, c, jnp2.arange(T))
+            return c, 0
+        c, _ = jax.lax.scan(layer, qkv,
+                            jnp2.arange(cfg.num_layers * ITERS))
+        return c
+
+    band_ms = timeit(band_fb, qkv)
+    res_ms = timeit(res_fb, qkv)
+
+    # spatial encode (the full hybrid attention incl. QKV/LN/merge)
+    def spatial_fb(p, s):
+        def f(pp):
+            enc = model.encode_spatial(pp, s)
+            return jnp2.sum(enc ** 2)
+
+        def it(c, i):
+            g = jax.grad(f)(c)
+            return jax.tree_util.tree_map(
+                lambda a, b: a + 1e-9 * b, c, g), 0
+        c, _ = jax.lax.scan(it, p, jnp2.arange(ITERS))
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp2.sum(b.astype(jnp2.float32)), c, 0.0)
+
+    jsp = jax.jit(spatial_fb)
+    float(jsp(params, seq))
+    t0 = time.perf_counter()
+    float(jsp(params, seq))
+    spatial_ms = (time.perf_counter() - t0) / ITERS * 1e3
+
+    phases = {
+        "band_flash_ms_per_layerpass": round(band_ms, 2),
+        "residual_padded_ms_per_layerpass": round(res_ms, 2),
+        "band_flash_ms_per_step": round(band_ms * cfg.num_layers * T, 1),
+        "residual_ms_per_step": round(res_ms * cfg.num_layers * T, 1),
+        "spatial_encode_ms_per_step": round(spatial_ms, 1),
+        "rest_ms_per_step": round(dt * 1e3 - spatial_ms, 1),
+    }
+    print(json.dumps(phases), flush=True)
+
     out = {
         "part": "C 131K-node hybrid (band flash w/ compact masks + "
                 "csr residual) single chip",
@@ -256,6 +366,7 @@ def part_c_hybrid(quick=False):
         "host_prep_s": round(host_s, 1),
         "ms_per_step": round(dt * 1e3, 1),
         "edges_per_s": round(E * T / dt, 0),
+        "phases": phases,
     }
     print(json.dumps(out))
     return out

@@ -107,6 +107,11 @@ class SnapshotSequence:
     #  inc_slot i32[T, N, dmax_t], ival bool)
     hyb_res_pad: Optional[Tuple[jax.Array, jax.Array, jax.Array,
                                 jax.Array, jax.Array]] = None
+    # degree-bucketed COMPACT residual tables (round 4 — gather work
+    # ~1.5x the edge count; `compact_padded_residual`): tuple of
+    # per-bucket 7-tuples (qid, nbr, nval, kid, inc, inc_slot, ival),
+    # each [T, ...]. Preferred by the unbiased hybrid path when present.
+    hyb_res_cpad: Optional[Tuple[Tuple[jax.Array, ...], ...]] = None
     # edge-feature provenance for the biased hybrid backend
     # (ops.pallas.hybrid_biased): hyb_band_slot i32[T, E] maps each
     # original edge to its occupied band block slot (-1 = residual /
@@ -410,7 +415,7 @@ class SnapshotSequence:
             # Poisson-tail dmax on a hub-free graph (N*dmax ~ 10*Er at
             # the 131K bench) stays padded, a true hub falls back
             build_pad = N * max(dmax, dmax_t) <= 64 * Er
-        pads_stacked = res_bid = None
+        pads_stacked = res_bid = cpad_stacked = None
         if build_pad:
             pads = [pad_residual_edges(req[t], rek[t], rem[t], N,
                                        dmax=dmax, dmax_t=dmax_t,
@@ -420,6 +425,29 @@ class SnapshotSequence:
                 jnp.asarray(np.stack([p[i] for p in pads]))
                 for i in range(5))
             res_bid = jnp.asarray(np.stack([p[5] for p in pads]))
+            # degree-bucketed compact tables: caps from the pooled
+            # degree histogram, dims maxed across snapshots
+            pooled = np.concatenate([
+                np.bincount(req[t][rem[t]], minlength=N)
+                for t in range(T)])
+            caps = _bucket_caps(pooled)
+            dims = None
+            for t in range(T):
+                bks, _ = compact_padded_residual(
+                    req[t], rek[t], rem[t], N, caps=caps)
+                dt = [(b[0].shape[0], b[3].shape[0], b[4].shape[1])
+                      for b in bks]
+                dims = dt if dims is None else [
+                    tuple(max(a, c) for a, c in zip(x, y))
+                    for x, y in zip(dims, dt)]
+            cpads = [compact_padded_residual(
+                req[t], rek[t], rem[t], N, caps=caps, dims=dims)[0]
+                for t in range(T)]
+            cpad_stacked = tuple(
+                tuple(jnp.asarray(np.stack([cpads[t][b][i]
+                                            for t in range(T)]))
+                      for i in range(7))
+                for b in range(len(caps)))
         return dataclasses.replace(
             self,
             hyb_mask_blocks=jnp.asarray(mask_blocks),
@@ -429,6 +457,7 @@ class SnapshotSequence:
             hyb_res=(jnp.asarray(req), jnp.asarray(rek),
                      jnp.asarray(rem)),
             hyb_res_pad=pads_stacked,
+            hyb_res_cpad=cpad_stacked,
             hyb_band_slot=jnp.asarray(band_slot),
             hyb_res_bid=res_bid)
 
@@ -519,6 +548,108 @@ def _ring_flash_structs(eq_t, ek_t, em_t, N, G, Bp,
     off = tuple(jnp.asarray(a)
                 for a in (onbr, onval, oinc, oincs, oival))
     return diag, off
+
+
+def _bucket_caps(counts: np.ndarray, max_buckets: int = 3):
+    """Pick degree caps c1 < c2 < ... <= dmax minimizing the padded
+    table size sum_b rows_b * cap_b over queries bucketed by degree
+    (small DP over the degree histogram). `counts` is the per-node
+    degree array; returns the cap list (ascending)."""
+    degs = counts[counts > 0]
+    if degs.size == 0:
+        return [1]
+    hist = np.bincount(degs)                 # hist[d] = #rows of deg d
+    dmax = len(hist) - 1
+    cands = np.nonzero(hist)[0]              # only present degrees
+    # cost of one bucket covering degrees (lo, hi]: rows * hi
+    nrows = np.cumsum(hist)
+
+    def rows_between(lo, hi):
+        return nrows[hi] - (nrows[lo] if lo > 0 else 0)
+
+    best = {0: (0.0, [])}                    # by upper degree covered
+    for _ in range(max_buckets):
+        nxt = {}
+        for lo, (cost, caps) in best.items():
+            for hi in cands[cands > lo]:
+                c = cost + rows_between(lo, hi) * hi
+                if hi not in nxt or c < nxt[hi][0]:
+                    nxt[hi] = (c, caps + [int(hi)])
+        for hi, v in nxt.items():
+            if hi not in best or v[0] < best[hi][0]:
+                best[hi] = v
+    return best[dmax][1] if dmax in best else [int(dmax)]
+
+
+def compact_padded_residual(eq: np.ndarray, ek: np.ndarray,
+                            em: np.ndarray, num_nodes: int,
+                            max_buckets: int = 3,
+                            caps: Optional[list] = None,
+                            dims: Optional[list] = None):
+    """Host-side: COO residual edges -> degree-bucketed COMPACT padded
+    tables for `ops.sparse.edge_attention_partial_padded_compact`.
+
+    The plain [N, dmax] layout pays one serialized gather index per
+    TABLE SLOT (~20-30 ns each on TPU); with residual degrees
+    Poisson-tailed the padding is ~9x the edge count at the 131K
+    bench. Bucketing queries by degree (caps from a small DP) and
+    compacting rows to ACTIVE queries/keys brings gather work to
+    ~1.5x the edge count. Buckets partition the QUERY set, so each is
+    an exact disjoint partial of the residual softmax.
+
+    Returns a list of per-bucket tuples
+      (qid i32[Na], nbr i32[Na, cap], nval, kid i32[Nk],
+       inc i32[Nk, dt], inc_slot, ival)
+    with nbr indexing the bucket's compact key rows and inc its compact
+    query rows. ``caps``/``dims`` pin static sizes across snapshots
+    (dims = per-bucket (Na, Nk, dt) triples)."""
+    eq = np.asarray(eq)
+    ek = np.asarray(ek)
+    em = np.asarray(em).astype(bool)
+    vq, vk = eq[em], ek[em]
+    counts = np.bincount(vq, minlength=num_nodes)
+    if caps is None:
+        caps = _bucket_caps(counts, max_buckets)
+    buckets = []
+    lo = 0
+    for b, cap in enumerate(caps):
+        sel_q = (counts > lo) & (counts <= cap)      # per-node
+        lo = cap
+        qid = np.nonzero(sel_q)[0].astype(np.int32)
+        e_sel = sel_q[vq]
+        bq, bk = vq[e_sel], vk[e_sel]
+        kid = np.unique(bk).astype(np.int32)
+        q_pos = np.full(num_nodes, -1, np.int64)
+        q_pos[qid] = np.arange(len(qid))
+        k_pos = np.full(num_nodes, -1, np.int64)
+        k_pos[kid] = np.arange(len(kid))
+        if dims is not None:
+            Na, Nk, dt = dims[b]
+            if len(qid) > Na or len(kid) > Nk:
+                raise ValueError("compact bucket exceeds pinned dims")
+        else:
+            Na, Nk, dt = len(qid), len(kid), None
+        nbr, nval, inc, inc_slot, ival = pad_bipartite_edges(
+            q_pos[bq], k_pos[bk], np.ones(len(bq), bool),
+            max(Na, 1), max(Nk, 1), dmax=cap, dmax_t=dt)
+        # pad row counts to the pinned statics (sentinel qid/kid =
+        # num_nodes -> dropped by the runtime scatter / masked rows)
+        def _pad_rows(a, n, fill=0):
+            if a.shape[0] >= n:
+                return a
+            pad = np.full((n - a.shape[0],) + a.shape[1:], fill,
+                          a.dtype)
+            return np.concatenate([a, pad])
+        Na = max(Na, 1)
+        Nk = max(Nk, 1)
+        qid_p = _pad_rows(qid, Na, num_nodes)
+        kid_p = _pad_rows(kid, Nk, num_nodes)
+        buckets.append((qid_p.astype(np.int32),
+                        _pad_rows(nbr, Na), _pad_rows(nval, Na, False),
+                        kid_p.astype(np.int32),
+                        _pad_rows(inc, Nk), _pad_rows(inc_slot, Nk),
+                        _pad_rows(ival, Nk, False)))
+    return buckets, caps
 
 
 def _rows_plan(occ_mat: np.ndarray, W: int):

@@ -761,8 +761,7 @@ def make_boundary_ring_flash_attention(mesh: Mesh, metric: str, H: int,
             kc = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
             vc = jax.lax.ppermute(vc, GRAPH_AXIS, perm)
             src = jax.lax.rem(my - step + g, g)
-            kap_s = jnp.ones((H,) + onbr_l.shape[-2:], q_l.dtype) \
-                if kap_l is None else kap_l[:, 0, src]
+            kap_s = None if kap_l is None else kap_l[:, 0, src]
             part = SP._padded_partial(
                 metric, q_l, kc, vc, onbr_l[0, src], onval_l[0, src],
                 oinc_l[0, src], oincs_l[0, src], oival_l[0, src],

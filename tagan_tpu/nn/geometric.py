@@ -287,6 +287,9 @@ class GeometricAttention:
                         # residual path; COO args are ignored when set
         band_bias: Optional[jax.Array] = None,  # f32[S, BM, BN] compact
         res_bias: Optional[jax.Array] = None,   # f32[N, dmax] padded
+        res_cpad=None,  # degree-bucketed COMPACT tables (preferred on
+                        # the unbiased path; core.graph.
+                        # compact_padded_residual)
     ) -> jax.Array:
         """Hybrid backend for very large graphs with locality (the
         post-RCM band structure, `core.graph.build_sequence(
@@ -371,7 +374,12 @@ class GeometricAttention:
                 block_m=block_m, block_n=block_n, bf16=bf16,
                 plan=band_plan, plan_t=band_plan_t,
                 dropout_rate=att_rate, dropout_seed=band_seed)
-            if res_pad is not None:
+            if res_cpad is not None:
+                res = S2.edge_attention_partial_padded_compact(
+                    metric, q, k, v, res_cpad,
+                    sigma=sigma, gamma=gamma,
+                    dropout_rate=att_rate, dropout_rng=r_res)
+            elif res_pad is not None:
                 nbr, nval, inc, inc_slot, ival = res_pad
                 res = S2.edge_attention_partial_padded(
                     metric, q, k, v, nbr, nval, inc, inc_slot, ival,

@@ -473,6 +473,12 @@ class TAGAN:
             step_rngs = None
 
         padded = seq.hyb_res_pad is not None
+        # compact degree-bucketed residual (round 4): preferred on the
+        # unbiased path — gather work ~1.5x the edge count instead of
+        # N*dmax (the biased path keeps the [N, dmax] layout its bias
+        # provenance is built for)
+        cpad = (seq.hyb_res_cpad if (seq.hyb_res_cpad is not None
+                                     and not want_edge_bias) else None)
         ea_bias = (M.linear(p["edge_embedding"], seq.edge_attr)
                    if want_edge_bias else None)   # [T, E, hidden]
 
@@ -482,6 +488,7 @@ class TAGAN:
                                                range(8))
             req, rek, rem = (next(it) for _ in range(3))
             rp = tuple(next(it) for _ in range(5)) if padded else None
+            cp = next(it) if cpad is not None else None
             nm = next(it)
             if ea_bias is not None:
                 ea_t, eq_t, ek_t, em_t, bslot_t, rbid_t = (
@@ -512,7 +519,7 @@ class TAGAN:
                     req, rek, rem, nm, deterministic=ri is None,
                     rng=ri, block_m=BM, block_n=BN,
                     bf16=c.bf16_matmul, res_pad=rp,
-                    band_bias=bb, res_bias=rb)
+                    band_bias=bb, res_bias=rb, res_cpad=cp)
                 if i == 0:
                     if c.use_layer_norm:
                         xt = xt + M.layer_norm(p["skip_layer_norm"], sk)
@@ -526,6 +533,8 @@ class TAGAN:
                 *seq.hyb_res)
         if padded:
             args = args + tuple(seq.hyb_res_pad)
+        if cpad is not None:
+            args = args + (cpad,)
         args = args + (seq.node_mask,)
         if ea_bias is not None:
             args = args + (ea_bias, seq.edge_src, seq.edge_dst,
