@@ -131,6 +131,13 @@ class TAGANConfig:
     # the backward pass instead of storing them (jax.checkpoint) — trades
     # FLOPs for HBM on long sequences / large graphs.
     remat: bool = False
+    # Flash-kernel block geometry overrides (0 = the measured auto rule:
+    # block_m 512, dropping to 256 under edge bias or bf16_matmul where
+    # the backward walks exceed scoped VMEM; block_n 1024). Set from the
+    # measured sweep table in benchmarks/results_block_sweep.json when a
+    # config deviates from the defaults.
+    flash_block_m: int = 0
+    flash_block_n: int = 0
 
     def __post_init__(self):
         self.validate()

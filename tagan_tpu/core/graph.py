@@ -177,7 +177,8 @@ class SnapshotSequence:
                        max_boundary: Optional[int] = None,
                        local_flash: Optional[bool] = None,
                        local_block_m: Optional[int] = None,
-                       local_block_n: Optional[int] = None
+                       local_block_n: Optional[int] = None,
+                       pin: Optional[dict] = None
                        ) -> "SnapshotSequence":
         """Attach the host-side edge partition consumed by
         ``spatial_backend="ring"``: per snapshot, bucket every valid
@@ -201,7 +202,19 @@ class SnapshotSequence:
         and the off-diagonal buckets as rectangular padded-degree
         tables against the source shard's boundary compaction
         (scatter-free folds). ``local_block_m``/``n`` pick the kernel
-        block geometry (auto: 512x1024 clipped to the shard size)."""
+        block geometry (auto: 512x1024 clipped to the shard size).
+
+        ``pin`` (from `ring_plan_dims`, merged across a dataset) fixes
+        the plan's static dims so per-sequence plans stack into one
+        batch pytree."""
+        if pin is not None:
+            max_edges_per_bucket = pin["Ep"]
+            max_boundary = pin.get("Bp", max_boundary)
+            if pin.get("lf") is not None:
+                local_block_m = pin["lf"]["block_m"]
+                local_block_n = pin["lf"]["block_n"]
+            else:
+                local_flash = False
         from ..dist.edge_partition import partition_edges_by_query_and_key
         N = self.max_nodes
         if N % num_shards != 0:
@@ -263,9 +276,14 @@ class SnapshotSequence:
                 ek_t[t] = ek_loc
         rf_diag = rf_off = None
         if boundary and (local_flash is None or local_flash):
+            lf_dims = None
+            if pin is not None and pin.get("lf") is not None:
+                lf = pin["lf"]
+                lf_dims = (lf["S"], lf["W"], lf["Wt"], lf["dmax"],
+                           lf["dmax_t"])
             rf_diag, rf_off = _ring_flash_structs(
                 eq_t, ek_t, em_t, N, num_shards, max_boundary,
-                local_block_m, local_block_n)
+                local_block_m, local_block_n, dims=lf_dims)
         return dataclasses.replace(
             self,
             ring_eq=jnp.asarray(np.stack(eq_t)),
@@ -282,7 +300,8 @@ class SnapshotSequence:
                          block_m: int = 512, block_n: int = 1024,
                          pack: Optional[bool] = None,
                          band_quantile: float = 0.95,
-                         padded_residual: Optional[bool] = None
+                         padded_residual: Optional[bool] = None,
+                         pin: Optional[dict] = None
                          ) -> "SnapshotSequence":
         """Attach the band + residual split consumed by
         ``spatial_backend="hybrid"`` (host-side, numpy). Edges within
@@ -307,7 +326,17 @@ class SnapshotSequence:
         builds them unless a residual hub node inflates the tables far
         beyond the COO cost crossover (N * dmax > 64 * Er — one
         high-degree off-band node would otherwise cost N*hub_degree
-        table entries for an O(E)-sized edge set)."""
+        table entries for an O(E)-sized edge set).
+
+        ``pin`` fixes the plan's STATIC dims (from `hybrid_plan_dims`
+        of a previously planned sequence / a dataset maximum) so plans
+        built per sequence stack into one batch pytree — the loader's
+        two-phase flow. Only shapes are pinned; each sequence keeps its
+        own band split and slot contents."""
+        if pin is not None:
+            block_m = pin.get("block_m", block_m)
+            block_n = pin.get("block_n", block_n)
+            pack = pin.get("pack", pack)
         N = self.max_nodes
         bm, bn = block_m, block_n
         Np = ((N + max(bm, bn) - 1) // max(bm, bn)) * max(bm, bn)
@@ -329,6 +358,11 @@ class SnapshotSequence:
         band_sel = em & (gap <= band_width)
         res_sel = em & ~band_sel
         Er = max(int(res_sel.sum(axis=1).max()), 1)
+        if pin is not None and pin.get("Er") is not None:
+            if Er > pin["Er"]:
+                raise ValueError(f"residual edges {Er} > pinned "
+                                 f"Er={pin['Er']}")
+            Er = pin["Er"]
 
         # per-snapshot occupancy of band + self loops
         occs = []
@@ -342,6 +376,12 @@ class SnapshotSequence:
         S = max(max(int(o.sum()) for o in occs), 1)
         Wj = max(max(int(o.sum(axis=1).max()) for o in occs), 1)
         Wi = max(max(int(o.sum(axis=0).max()) for o in occs), 1)
+        if pin is not None and pin.get("S") is not None:
+            if S > pin["S"] or Wj > pin["Wj"] or Wi > pin["Wi"]:
+                raise ValueError(
+                    f"band occupancy ({S},{Wj},{Wi}) exceeds pinned "
+                    f"({pin['S']},{pin['Wj']},{pin['Wi']})")
+            S, Wj, Wi = pin["S"], pin["Wj"], pin["Wi"]
 
         mws = bn // 8 if pack else bn
         mask_blocks = np.zeros((T, S, bm, mws), np.int8)
@@ -405,8 +445,16 @@ class SnapshotSequence:
                     src[t][r], minlength=N).max()))
                 dmax_t = max(dmax_t, int(np.bincount(
                     dst[t][r], minlength=N).max()))
+        if pin is not None and pin.get("dmax") is not None:
+            if dmax > pin["dmax"] or dmax_t > pin["dmax_t"]:
+                raise ValueError(
+                    f"residual degree ({dmax},{dmax_t}) exceeds pinned "
+                    f"({pin['dmax']},{pin['dmax_t']})")
+            dmax, dmax_t = pin["dmax"], pin["dmax_t"]
         build_pad = padded_residual
-        if build_pad is None:
+        if pin is not None and pin.get("padded") is not None:
+            build_pad = pin["padded"]
+        elif build_pad is None:
             # hub guard (ADVICE r3): a single high-degree off-band node
             # makes the [N, dmax] tables N*hub_degree entries for an
             # Er-sized edge set. The COO path pays ~20 ns per serialized
@@ -427,19 +475,25 @@ class SnapshotSequence:
             res_bid = jnp.asarray(np.stack([p[5] for p in pads]))
             # degree-bucketed compact tables: caps from the pooled
             # degree histogram, dims maxed across snapshots
-            pooled = np.concatenate([
-                np.bincount(req[t][rem[t]], minlength=N)
-                for t in range(T)])
-            caps = _bucket_caps(pooled)
-            dims = None
-            for t in range(T):
-                bks, _ = compact_padded_residual(
-                    req[t], rek[t], rem[t], N, caps=caps)
-                dt = [(b[0].shape[0], b[3].shape[0], b[4].shape[1])
-                      for b in bks]
-                dims = dt if dims is None else [
-                    tuple(max(a, c) for a, c in zip(x, y))
-                    for x, y in zip(dims, dt)]
+            if pin is not None and pin.get("caps") is not None:
+                caps = list(pin["caps"])
+            else:
+                pooled = np.concatenate([
+                    np.bincount(req[t][rem[t]], minlength=N)
+                    for t in range(T)])
+                caps = _bucket_caps(pooled)
+            if pin is not None and pin.get("cdims") is not None:
+                dims = [tuple(d) for d in pin["cdims"]]
+            else:
+                dims = None
+                for t in range(T):
+                    bks, _ = compact_padded_residual(
+                        req[t], rek[t], rem[t], N, caps=caps)
+                    dt = [(b[0].shape[0], b[3].shape[0], b[4].shape[1])
+                          for b in bks]
+                    dims = dt if dims is None else [
+                        tuple(max(a, c) for a, c in zip(x, y))
+                        for x, y in zip(dims, dt)]
             cpads = [compact_padded_residual(
                 req[t], rek[t], rem[t], N, caps=caps, dims=dims)[0]
                 for t in range(T)]
@@ -463,7 +517,7 @@ class SnapshotSequence:
 
 
 def _ring_flash_structs(eq_t, ek_t, em_t, N, G, Bp,
-                        block_m=None, block_n=None):
+                        block_m=None, block_n=None, dims=None):
     """Host-side flash-local ring structures (with_ring_plan docstring):
     per (t, shard) compact occupied-block structure for the diagonal
     bucket (shard-local coordinates; ek already localized by
@@ -501,6 +555,12 @@ def _ring_flash_structs(eq_t, ek_t, em_t, N, G, Bp,
                 c2 = np.bincount(ekt[g, gk][mo], minlength=Bp)
                 dmax = max(dmax, int(c1.max(initial=0)))
                 dmax_t = max(dmax_t, int(c2.max(initial=0)))
+    if dims is not None:
+        got = (S_l, W_l, Wt_l, dmax, dmax_t)
+        if any(a > b for a, b in zip(got, dims)):
+            raise ValueError(
+                f"flash-local structure {got} exceeds pinned {dims}")
+        S_l, W_l, Wt_l, dmax, dmax_t = dims
 
     dmask = np.zeros((T, G, S_l, bm, bn), np.int8)
     djl = np.zeros((T, G, n_i, W_l), np.int32)
@@ -548,6 +608,136 @@ def _ring_flash_structs(eq_t, ek_t, em_t, N, G, Bp,
     off = tuple(jnp.asarray(a)
                 for a in (onbr, onval, oinc, oincs, oival))
     return diag, off
+
+
+def hybrid_plan_dims(seq: SnapshotSequence) -> dict:
+    """Extract a hybrid plan's STATIC dims as a ``pin`` dict (see
+    `SnapshotSequence.with_hybrid_plan`). Merge dicts from several
+    sequences with `merge_hybrid_dims` to build stackable plans."""
+    if seq.hyb_mask_blocks is None:
+        raise ValueError("sequence has no hybrid plan")
+    mb = seq.hyb_mask_blocks
+    BM = mb.shape[2]
+    n_i = seq.hyb_plan[1].shape[1]
+    n_j = seq.hyb_plan_t[1].shape[1]
+    BN = (n_i * BM) // n_j
+    d = dict(block_m=BM, block_n=BN, pack=mb.shape[3] * 8 == BN,
+             S=mb.shape[1], Wj=seq.hyb_plan[0].shape[2],
+             Wi=seq.hyb_plan_t[0].shape[2],
+             Er=seq.hyb_res[0].shape[1],
+             padded=seq.hyb_res_pad is not None,
+             dmax=1, dmax_t=1, caps=None, cdims=None)
+    if seq.hyb_res_pad is not None:
+        d["dmax"] = seq.hyb_res_pad[0].shape[2]
+        d["dmax_t"] = seq.hyb_res_pad[2].shape[2]
+    if seq.hyb_res_cpad is not None:
+        d["caps"] = [int(b[1].shape[2]) for b in seq.hyb_res_cpad]
+        d["cdims"] = [(int(b[0].shape[1]), int(b[3].shape[1]),
+                       int(b[4].shape[2])) for b in seq.hyb_res_cpad]
+    return d
+
+
+def ring_plan_dims(seq: SnapshotSequence) -> dict:
+    """Extract a ring plan's static dims as a ``pin`` dict for
+    `with_ring_plan(pin=...)`. Merge with `merge_ring_dims`."""
+    if seq.ring_eq is None:
+        raise ValueError("sequence has no ring plan")
+    d = dict(Ep=int(seq.ring_eq.shape[-1]), Bp=None, lf=None)
+    if seq.ring_bnd_idx is not None:
+        d["Bp"] = int(seq.ring_bnd_idx.shape[-1])
+    if seq.ring_flash_diag is not None:
+        mask = seq.ring_flash_diag[0]        # [T, G, S, BM, BN]
+        d["lf"] = dict(
+            block_m=int(mask.shape[3]), block_n=int(mask.shape[4]),
+            S=int(mask.shape[2]),
+            W=int(seq.ring_flash_diag[1].shape[3]),
+            Wt=int(seq.ring_flash_diag[4].shape[3]),
+            dmax=int(seq.ring_flash_off[0].shape[-1]),
+            dmax_t=int(seq.ring_flash_off[2].shape[-1]))
+    return d
+
+
+def merge_ring_dims(dims: Sequence[dict]) -> dict:
+    """Elementwise max of `ring_plan_dims` dicts; the flash-local
+    structures merge only when every sequence has them with one block
+    geometry (else they are dropped and the fold ring is used)."""
+    out = dict(dims[0])
+    out["lf"] = dict(out["lf"]) if out["lf"] else None
+    for d in dims[1:]:
+        out["Ep"] = max(out["Ep"], d["Ep"])
+        if (out["Bp"] is None) != (d["Bp"] is None):
+            raise ValueError("mixed boundary/non-boundary plans")
+        if out["Bp"] is not None:
+            out["Bp"] = max(out["Bp"], d["Bp"])
+        if out["lf"] is None or d["lf"] is None:
+            out["lf"] = None
+        elif (out["lf"]["block_m"], out["lf"]["block_n"]) != \
+                (d["lf"]["block_m"], d["lf"]["block_n"]):
+            out["lf"] = None
+        else:
+            for k in ("S", "W", "Wt", "dmax", "dmax_t"):
+                out["lf"][k] = max(out["lf"][k], d["lf"][k])
+    return out
+
+
+def attach_hybrid_plans(seqs: Sequence[SnapshotSequence],
+                        pin: Optional[dict] = None, **plan_kwargs):
+    """Attach hybrid plans to several sequences with SHARED static dims
+    so they stack into one batch pytree. Without ``pin``: three host
+    passes — per-sequence plans discover the band dims and pool the
+    residual degree histogram for shared compact caps, a re-plan with
+    those caps yields mergeable dims, and the final pass pins
+    everything. Returns (planned list, pin dict) — reuse the pin for
+    later sequences (e.g. a Predictor bucket or an export artifact)."""
+    if pin is not None:
+        kw = {k: v for k, v in plan_kwargs.items()
+              if k not in ("block_m", "block_n", "pack")}
+        return [s.with_hybrid_plan(pin=pin, **kw) for s in seqs], pin
+    planned = [s.with_hybrid_plan(**plan_kwargs) for s in seqs]
+    dims0 = [hybrid_plan_dims(s) for s in planned]
+    all_padded = all(d["padded"] for d in dims0)
+    caps = None
+    if all_padded:
+        pools = []
+        for s in planned:
+            req = np.asarray(s.hyb_res[0])
+            rem = np.asarray(s.hyb_res[2])
+            for t in range(req.shape[0]):
+                pools.append(np.bincount(req[t][rem[t]],
+                                         minlength=s.max_nodes))
+        caps = _bucket_caps(np.concatenate(pools))
+    kw = {k: v for k, v in plan_kwargs.items()
+          if k not in ("block_m", "block_n", "pack")}
+    pin1 = {"caps": caps, "padded": all_padded,
+            "block_m": dims0[0]["block_m"],
+            "block_n": dims0[0]["block_n"], "pack": dims0[0]["pack"]}
+    replanned = [s.with_hybrid_plan(pin=pin1, **kw) for s in seqs]
+    pin = merge_hybrid_dims([hybrid_plan_dims(s) for s in replanned])
+    return [s.with_hybrid_plan(pin=pin, **kw) for s in seqs], pin
+
+
+def merge_hybrid_dims(dims: Sequence[dict]) -> dict:
+    """Elementwise max of `hybrid_plan_dims` dicts (same block geometry
+    and caps required — the loader fixes caps across its bucket before
+    calling this)."""
+    out = dict(dims[0])
+    for d in dims[1:]:
+        if (d["block_m"], d["block_n"], d["pack"]) != \
+                (out["block_m"], out["block_n"], out["pack"]):
+            raise ValueError("mixed block geometries cannot merge")
+        if (d["caps"] is None) != (out["caps"] is None) or \
+                (d["caps"] is not None and
+                 list(d["caps"]) != list(out["caps"])):
+            raise ValueError("mixed compact caps cannot merge — "
+                             "re-plan with shared caps")
+        out["padded"] = out["padded"] and d["padded"]
+        for k in ("S", "Wj", "Wi", "Er", "dmax", "dmax_t"):
+            out[k] = max(out[k], d[k])
+        if out["cdims"] is not None:
+            out["cdims"] = [
+                tuple(max(a, b) for a, b in zip(x, y))
+                for x, y in zip(out["cdims"], d["cdims"])]
+    return out
 
 
 def _bucket_caps(counts: np.ndarray, max_buckets: int = 3):
@@ -610,6 +800,11 @@ def compact_padded_residual(eq: np.ndarray, ek: np.ndarray,
     counts = np.bincount(vq, minlength=num_nodes)
     if caps is None:
         caps = _bucket_caps(counts, max_buckets)
+    elif counts.max(initial=0) > caps[-1]:
+        raise ValueError(
+            f"residual query degree {int(counts.max())} exceeds the "
+            f"largest bucket cap {caps[-1]} — a query would silently "
+            "drop edges; recompute caps over the full dataset")
     buckets = []
     lo = 0
     for b, cap in enumerate(caps):

@@ -144,7 +144,9 @@ class TemporalGraphDataLoader:
                  num_workers: int = 0,
                  prefetch: int = 2,
                  reorder: Optional[str] = None,
-                 dense_adj: bool = True):
+                 dense_adj: bool = True,
+                 plan: Optional[str] = None,
+                 plan_kwargs: Optional[dict] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -167,6 +169,20 @@ class TemporalGraphDataLoader:
         # required for large graphs where it would blow HBM; with it the
         # flash backend's structure phase falls back to edge scatters
         self.dense_adj = dense_adj
+        # plan="hybrid"/"ring": attach the spatial-backend plan at pack
+        # time (host-side — plan building reads arrays back, so it runs
+        # under the CPU device; a TPU-relay round trip costs ~60 s
+        # where the CPU path costs ~0.1 s). Plans built per sequence
+        # stack into batches via per-bucket PINNED static dims: the
+        # first request in a bucket plans every member once to discover
+        # the dims (and, for hybrid's compact residual, shared degree
+        # caps), then re-plans pinned.
+        if plan not in (None, "hybrid", "ring"):
+            raise ValueError(f"unknown plan {plan!r} "
+                             "(use 'hybrid' or 'ring')")
+        self.plan = plan
+        self.plan_kwargs = dict(plan_kwargs or {})
+        self._plan_pin: dict = {}
         self._bucket_of, self._bucket_dims = self._assign_buckets()
 
     def _seq_node_count(self, i: int) -> int:
@@ -200,14 +216,51 @@ class TemporalGraphDataLoader:
                 bucket_of[int(i)] = b
         return bucket_of, dims
 
+    def _base_built(self, i: int) -> SnapshotSequence:
+        Tm, Nm, Em = self._bucket_dims[self._bucket_of[i]]
+        return build_sequence(
+            self.dataset.sequences[i], max_nodes=Nm,
+            max_edges=Em, max_time=Tm,
+            edge_feature_dim=self.edge_feature_dim,
+            reorder=self.reorder, dense_adj=self.dense_adj)
+
+    def _ensure_bucket_plans(self, b: int):
+        """Plan every member of bucket ``b`` with SHARED static dims
+        (two planning passes; host-side under the CPU device)."""
+        import jax
+        from ..core.graph import (attach_hybrid_plans, merge_ring_dims,
+                                  ring_plan_dims)
+        members = [i for i in range(len(self.dataset))
+                   if self._bucket_of[i] == b]
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            bases = {i: self._base_built(i) for i in members}
+            if self.plan == "ring":
+                planned = {i: s.with_ring_plan(**self.plan_kwargs)
+                           for i, s in bases.items()}
+                pin = merge_ring_dims(
+                    [ring_plan_dims(s) for s in planned.values()])
+                self._plan_pin[b] = pin
+                kw = {k: v for k, v in self.plan_kwargs.items()
+                      if k not in ("max_edges_per_bucket",
+                                   "max_boundary", "local_block_m",
+                                   "local_block_n")}
+                for i in members:
+                    self._cache[i] = bases[i].with_ring_plan(
+                        pin=pin, **kw)
+                return
+            planned, pin = attach_hybrid_plans(
+                [bases[i] for i in members], **self.plan_kwargs)
+            self._plan_pin[b] = pin
+            for i, s in zip(members, planned):
+                self._cache[i] = s
+
     def _built(self, i: int) -> SnapshotSequence:
         if self._cache[i] is None:
-            Tm, Nm, Em = self._bucket_dims[self._bucket_of[i]]
-            self._cache[i] = build_sequence(
-                self.dataset.sequences[i], max_nodes=Nm,
-                max_edges=Em, max_time=Tm,
-                edge_feature_dim=self.edge_feature_dim,
-                reorder=self.reorder, dense_adj=self.dense_adj)
+            if self.plan is not None:
+                self._ensure_bucket_plans(self._bucket_of[i])
+            else:
+                self._cache[i] = self._base_built(i)
         return self._cache[i]
 
     def __len__(self) -> int:

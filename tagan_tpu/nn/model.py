@@ -279,8 +279,9 @@ class TAGAN:
                 # f32 block windows AND bf16 casts of the [BM, BN]
                 # operands live for the MXU, and the dk/dv walk exceeds
                 # scoped VMEM at 512x1024 (measured 17.75M on v5e)
-                BM = 256 if (want_edge_bias or c.bf16_matmul) else 512
-                BN = 1024
+                BM = c.flash_block_m or (
+                    256 if (want_edge_bias or c.bf16_matmul) else 512)
+                BN = c.flash_block_n or 1024
 
                 def _mask_and_plans(eq, ek, em, nm, adj_t):
                     # self loops (for live nodes) go in via a fused

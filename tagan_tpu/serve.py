@@ -79,7 +79,17 @@ class Predictor:
     def __init__(self, model: TAGAN, params, *,
                  dims: Optional[Tuple[int, int, int, int]] = None,
                  batch_size: int = 8, dense_adj: Optional[bool] = None,
-                 reorder: Optional[str] = None):
+                 reorder: Optional[str] = None,
+                 plan_pin: Optional[dict] = None,
+                 plan_kwargs: Optional[dict] = None):
+        if model.config.spatial_backend == "ring":
+            raise ValueError(
+                "spatial_backend='ring' cannot be served by Predictor: "
+                "the ring is a multi-chip shard_map program over a "
+                "device mesh — serve the same weights on one chip with "
+                "spatial_backend='hybrid' (same semantics, >HBM-graph "
+                "capable) or run distributed inference through "
+                "dist.spmd.make_eval_step on the training mesh")
         self.model = model
         self.params = params
         self.dims = dims
@@ -88,6 +98,12 @@ class Predictor:
             dense_adj = model.config.spatial_backend == "dense"
         self.dense_adj = dense_adj
         self.reorder = reorder
+        # hybrid serving: plans attach at pack time with PINNED static
+        # dims (one compile per bucket). plan_pin from
+        # core.graph.hybrid_plan_dims / a loader's discovered pin; when
+        # None the first call discovers it from its own sequences.
+        self.plan_pin = plan_pin
+        self.plan_kwargs = dict(plan_kwargs or {})
         self._compiled: Dict[Any, Any] = {}
 
     # -- construction ------------------------------------------------------
@@ -124,11 +140,20 @@ class Predictor:
                  for i in range(sequences.x.shape[0])]
         dims = self.dims or pad_dims_for(sequences)
         T, N, E, Fe = dims
-        return [build_sequence(s, max_nodes=N, max_edges=max(E, 1),
+        seqs = [build_sequence(s, max_nodes=N, max_edges=max(E, 1),
                                max_time=T, edge_feature_dim=Fe,
                                dense_adj=self.dense_adj,
                                reorder=self.reorder)
                 for s in sequences]
+        if self.model.config.spatial_backend == "hybrid":
+            from .core.graph import attach_hybrid_plans
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):   # host-side plan build
+                seqs, pin = attach_hybrid_plans(
+                    seqs, pin=self.plan_pin, **self.plan_kwargs)
+            if self.plan_pin is None:
+                self.plan_pin = pin          # stable bucket from now on
+        return seqs
 
     # -- inference ---------------------------------------------------------
     def predict_proba(self, sequences) -> np.ndarray:
@@ -343,9 +368,39 @@ def _unflatten_params(flat: Dict[str, np.ndarray]):
     return out
 
 
+def _template_batch(model: TAGAN, dims, batch_size: int,
+                    dense_adj: bool, plan_pin: Optional[dict],
+                    plan_kwargs: dict) -> SnapshotSequence:
+    """A zero-filled stacked batch with the artifact's exact structure
+    (incl. hybrid plan arrays when the backend needs them) — its leaves
+    define the export's positional ABI on both sides."""
+    T, N, E, Fe = dims
+    x = np.zeros((2, model.config.node_feature_dim), np.float32)
+    ei = np.zeros((2, 1), np.int64)
+    ea = np.zeros((1, Fe), np.float32) if Fe else None
+    snap = {"x": x, "edge_index": ei, "edge_attr": ea,
+            "node_ids": [0, 1], "timestep": 0.0}
+    seq = build_sequence([snap], max_nodes=N, max_edges=max(E, 1),
+                         max_time=T, edge_feature_dim=Fe,
+                         dense_adj=dense_adj)
+    if model.config.spatial_backend == "hybrid":
+        from .core.graph import attach_hybrid_plans
+        if plan_pin is None:
+            raise ValueError(
+                "exporting a hybrid artifact needs plan_pin (the "
+                "hybrid plan's static dims — core.graph."
+                "hybrid_plan_dims of a planned sequence, or the "
+                "loader's discovered pin)")
+        (seq,), _ = attach_hybrid_plans([seq], pin=plan_pin,
+                                        **plan_kwargs)
+    return batch_sequences([seq] * batch_size)
+
+
 def export_artifact(model: TAGAN, params, dims: Tuple[int, int, int, int],
                     path: str, *, batch_size: int = 8,
-                    platforms: Optional[Sequence[str]] = None) -> None:
+                    platforms: Optional[Sequence[str]] = None,
+                    plan_pin: Optional[dict] = None,
+                    plan_kwargs: Optional[dict] = None) -> None:
     """Serialize an ahead-of-time compiled predict function.
 
     Writes ``path/`` containing:
@@ -357,42 +412,45 @@ def export_artifact(model: TAGAN, params, dims: Tuple[int, int, int, int],
     * ``meta.json`` — artifact version, model config, dims, batch size.
 
     ``platforms`` defaults to ``("cpu", "tpu")`` so one artifact serves
-    both — except for the Pallas flash backend, whose kernels only lower
-    for TPU, where the default is ``("tpu",)``. Pass ``platforms``
-    explicitly to override.
+    both — except for the Pallas kernel backends (flash/hybrid), whose
+    kernels only lower for TPU, where the default is ``("tpu",)``. Pass
+    ``platforms`` explicitly to override.
+
+    ``spatial_backend="hybrid"`` artifacts additionally need
+    ``plan_pin`` (the hybrid plan's pinned static dims) and reuse
+    ``plan_kwargs`` at serve-time pack; the plan arrays cross the
+    export boundary as extra leaves of the positional ABI.
+    ``spatial_backend="ring"`` cannot be exported (multi-chip shard_map
+    program — see :class:`Predictor`'s error for the alternatives).
     """
     from jax import export as jexport
 
-    T, N, E, Fe = dims
+    if model.config.spatial_backend == "ring":
+        raise ValueError(
+            "spatial_backend='ring' cannot be exported: the ring is a "
+            "multi-chip shard_map program over a device mesh; export "
+            "the same weights with spatial_backend='hybrid' for "
+            "single-chip serving at >HBM-graph scale")
     dense_adj = model.config.spatial_backend == "dense"
-    if platforms is None and model.config.spatial_backend == "flash":
+    if platforms is None and model.config.spatial_backend in (
+            "flash", "hybrid"):
         platforms = ("tpu",)
+    plan_kwargs = dict(plan_kwargs or {})
 
-    def spec(shape, dtype):
-        return jax.ShapeDtypeStruct((batch_size,) + tuple(shape), dtype)
-
-    adj_n = N if dense_adj else 1
-    # the batch crosses the export boundary as a flat tuple of arrays in
-    # SnapshotSequence field order — jax.export cannot serialize custom
-    # pytree nodes, and a stable positional ABI is the better artifact
-    # contract anyway
-    batch_specs = (
-        spec((T, N, model.config.node_feature_dim), jnp.float32),  # x
-        spec((T, N), jnp.bool_),                    # node_mask
-        spec((T, adj_n, adj_n), jnp.bool_),         # adj
-        spec((T, E), jnp.int32),                    # edge_src
-        spec((T, E), jnp.int32),                    # edge_dst
-        spec((T, E), jnp.bool_),                    # edge_mask
-        spec((T, E, Fe), jnp.float32),              # edge_attr
-        spec((T,), jnp.float32),                    # times
-        spec((T,), jnp.bool_),                      # time_mask
-        spec((N,), jnp.int32),                      # node_ids
-    )
+    # the batch crosses the export boundary as a flat tuple of arrays
+    # (jax.export cannot serialize custom pytree nodes); both sides
+    # flatten a structurally identical template, so leaf order matches
+    template = _template_batch(model, dims, batch_size, dense_adj,
+                               plan_pin, plan_kwargs)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    batch_specs = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                        for a in leaves)
     params_spec = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
 
     def predict(p, *leaves):
-        out = batched_forward(model, p, SnapshotSequence(*leaves))
+        batch = jax.tree_util.tree_unflatten(treedef, leaves)
+        out = batched_forward(model, p, batch)
         return out.logits, out.predictions
 
     if platforms is None:
@@ -413,6 +471,8 @@ def export_artifact(model: TAGAN, params, dims: Tuple[int, int, int, int],
             "platforms": list(platforms),
             "dense_adj": dense_adj,
             "output_dim": model.config.output_dim,
+            "plan_pin": plan_pin,
+            "plan_kwargs": plan_kwargs,
         }, f, indent=2)
 
 
@@ -428,6 +488,9 @@ class ExportedPredictor:
         self.dims = tuple(meta["dims"])
         self.batch_size = int(meta["batch_size"])
         self.dense_adj = bool(meta["dense_adj"])
+        self.plan_pin = meta.get("plan_pin")
+        self.plan_kwargs = dict(meta.get("plan_kwargs") or {})
+        self._hybrid = (self.plan_pin is not None)
 
     def _pack(self, sequences) -> List[SnapshotSequence]:
         if isinstance(sequences, SnapshotSequence):
@@ -436,10 +499,20 @@ class ExportedPredictor:
                 [jax.tree_util.tree_map(lambda a: a[i], sequences)
                  for i in range(sequences.x.shape[0])]
         T, N, E, Fe = self.dims
-        return [build_sequence(s, max_nodes=N, max_edges=max(E, 1),
+        seqs = [build_sequence(s, max_nodes=N, max_edges=max(E, 1),
                                max_time=T, edge_feature_dim=Fe,
                                dense_adj=self.dense_adj)
                 for s in sequences]
+        if self._hybrid:
+            from .core.graph import attach_hybrid_plans
+            pin = dict(self.plan_pin)
+            if pin.get("cdims") is not None:
+                pin["cdims"] = [tuple(d) for d in pin["cdims"]]
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                seqs, _ = attach_hybrid_plans(seqs, pin=pin,
+                                              **self.plan_kwargs)
+        return seqs
 
     def predict_proba(self, sequences) -> np.ndarray:
         seqs = self._pack(sequences)
@@ -452,9 +525,9 @@ class ExportedPredictor:
             while len(chunk) < bs:
                 chunk.append(chunk[0])
             batch = batch_sequences(chunk)
-            leaves = (batch.x, batch.node_mask, batch.adj, batch.edge_src,
-                      batch.edge_dst, batch.edge_mask, batch.edge_attr,
-                      batch.times, batch.time_mask, batch.node_ids)
+            # same positional ABI as the export side: the leaves of a
+            # structurally identical batch pytree
+            leaves = jax.tree_util.tree_leaves(batch)
             _, p = self._exported.call(self._params, *leaves)
             probs.append(np.asarray(p)[:valid])
         return np.concatenate(probs, axis=0).reshape(n, -1)

@@ -218,3 +218,82 @@ def test_export_multiclass_predict(setup, tmp_path):
     labels = pred.predict(seqs)
     assert labels.shape == (7,)
     assert labels.max() < 3
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (VERDICT r3 item 4): hybrid serving + ring's documented refusal
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def _interp(monkeypatch):
+    import functools
+    import jax.experimental.pallas as pl
+    from tagan_tpu.ops.pallas import flash_geometric as FG
+    monkeypatch.setattr(FG.pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    yield
+
+
+def test_predictor_hybrid_matches_direct(setup, _interp):
+    """Predictor on spatial_backend='hybrid': plans attach at pack time
+    with a discovered (then stable) pin; probabilities match the direct
+    hybrid forward."""
+    model, params, seqs = setup
+    hyb = TAGAN(model.config.replace(spatial_backend="hybrid",
+                                     remat=False))
+    pred = Predictor(hyb, params, dims=_dims(seqs), batch_size=4,
+                     plan_kwargs=dict(band_width=3, block_m=8,
+                                      block_n=8))
+    p1 = pred.predict_proba(seqs)
+    assert pred.plan_pin is not None          # pin discovered + kept
+    p2 = pred.predict_proba(seqs)             # second call reuses it
+    np.testing.assert_allclose(p1, p2, rtol=1e-6)
+    # direct forward oracle
+    from tagan_tpu.core.graph import attach_hybrid_plans
+    T, N, E, Fe = _dims(seqs)
+    built = [tt.build_sequence(s, max_nodes=N, max_edges=max(E, 1),
+                               max_time=T, edge_feature_dim=Fe)
+             for s in seqs]
+    planned, _ = attach_hybrid_plans(built, pin=pred.plan_pin,
+                                     band_width=3)
+    direct = np.stack([
+        np.asarray(hyb(params, s).predictions) for s in planned])
+    np.testing.assert_allclose(p1.reshape(-1), direct.reshape(-1),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_predictor_refuses_ring(setup):
+    model, params, _ = setup
+    ring = TAGAN(model.config.replace(spatial_backend="ring"))
+    with pytest.raises(ValueError, match="multi-chip"):
+        Predictor(ring, params)
+    with pytest.raises(ValueError, match="multi-chip"):
+        export_artifact(ring, params, (4, 9, 1, 0), "/tmp/never")
+
+
+def test_export_artifact_hybrid_roundtrip(setup, _interp, tmp_path):
+    """Hybrid AOT artifact: plan arrays cross the export boundary as
+    extra ABI leaves; the reloaded artifact packs+plans with the saved
+    pin and reproduces the Predictor's probabilities."""
+    from tagan_tpu.core.graph import attach_hybrid_plans, \
+        hybrid_plan_dims
+    model, params, seqs = setup
+    hyb = TAGAN(model.config.replace(spatial_backend="hybrid",
+                                     remat=False))
+    dims = _dims(seqs)
+    T, N, E, Fe = dims
+    built = [tt.build_sequence(s, max_nodes=N, max_edges=max(E, 1),
+                               max_time=T, edge_feature_dim=Fe)
+             for s in seqs]
+    _, pin = attach_hybrid_plans(built, band_width=3, block_m=8,
+                                 block_n=8)
+    path = str(tmp_path / "art_hyb")
+    export_artifact(hyb, params, dims, path, batch_size=4,
+                    platforms=("cpu",), plan_pin=pin,
+                    plan_kwargs=dict(band_width=3))
+    loaded = load_artifact(path)
+    got = loaded.predict_proba(seqs)
+    ref = Predictor(hyb, params, dims=dims, batch_size=4,
+                    plan_pin=pin,
+                    plan_kwargs=dict(band_width=3)).predict_proba(seqs)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
