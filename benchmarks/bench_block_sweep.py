@@ -118,6 +118,9 @@ def main():
     grid = [(bm, bn, fused, bf16)
             for bm in (256, 512) for bn in (512, 1024)
             for fused in (False, True) for bf16 in (False, True)]
+    # measure the incumbent headline geometry first so a truncated run
+    # still contains the baseline row
+    grid.sort(key=lambda g: (g != (512, 1024, False, False),))
     rows = []
     for bm, bn, fused, bf16 in grid:
         ok, why = feasible(bm, bn, fused, bf16)
@@ -128,6 +131,7 @@ def main():
             row.update(feasible=False, reason=why)
             rows.append(row)
             print(json.dumps(row), flush=True)
+            _save(rows, None)
             continue
         try:
             step_ms, first_s = run(bm, bn, fused, bf16)
@@ -139,13 +143,18 @@ def main():
                               f"{str(e)[:200]}")
         rows.append(row)
         print(json.dumps(row), flush=True)
+        _save(rows, None)
 
     ok_rows = [r for r in rows if r.get("feasible") and "step_ms" in r]
     best = min(ok_rows, key=lambda r: r["step_ms"]) if ok_rows else None
+    _save(rows, best)
+    print(json.dumps({"best": best}))
+
+
+def _save(rows, best):
     out = {"config": f"N={N} deg={DEG} T={T} hidden={H} heads={HEADS} "
                      f"layers=2 iters={ITERS} fresh_cache={FRESH}",
            "rows": rows, "best": best}
-    print(json.dumps({"best": best}))
     path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                          "results_block_sweep.json")
     with open(path, "w") as f:

