@@ -28,6 +28,10 @@ import numpy as np
 
 QUICK = "quick" in sys.argv[1:]
 FRESH = "fresh-cache" in sys.argv[1:]
+ONE = None
+if "--one" in sys.argv:
+    i = sys.argv.index("--one")
+    ONE = tuple(int(x) for x in sys.argv[i + 1:i + 5])
 
 
 def _cache():
@@ -82,7 +86,9 @@ def run(bm, bn, fused, bf16):
     cfg = tt.TAGANConfig(hidden_dim=H, num_heads=HEADS, num_layers=2,
                          node_feature_dim=F, output_dim=1,
                          loss_type="bce", dropout=0.0,
-                         spatial_backend="flash", remat=True,
+                         # remat OFF: the BASELINE config-2 headline
+                         # (bench.py) runs without rematerialization
+                         spatial_backend="flash", remat=False,
                          bf16_matmul=bf16, flash_block_m=bm,
                          flash_block_n=bn)
     model = tt.TAGAN(cfg)
@@ -115,6 +121,12 @@ def run(bm, bn, fused, bf16):
 
 
 def main():
+    if ONE is not None:
+        bm, bn, fused, bf16 = ONE[0], ONE[1], bool(ONE[2]), bool(ONE[3])
+        step_ms, first_s = run(bm, bn, fused, bf16)
+        print("RESULT " + json.dumps({"step_ms": round(step_ms, 1),
+                                      "first_call_s": round(first_s, 1)}))
+        return
     grid = [(bm, bn, fused, bf16)
             for bm in (256, 512) for bn in (512, 1024)
             for fused in (False, True) for bf16 in (False, True)]
@@ -133,10 +145,21 @@ def main():
             print(json.dumps(row), flush=True)
             _save(rows, None)
             continue
+        # each point runs in its own process: measured cross-config
+        # interference (a bf16 row landed 28% slow mid-sweep, exactly
+        # reproducible standalone at the fast number)
+        import subprocess
         try:
-            step_ms, first_s = run(bm, bn, fused, bf16)
-            row.update(feasible=True, step_ms=round(step_ms, 1),
-                       first_call_s=round(first_s, 1))
+            out = subprocess.run(
+                [sys.executable, _os.path.abspath(__file__), "--one",
+                 str(bm), str(bn), str(int(fused)), str(int(bf16))]
+                + (["quick"] if QUICK else []),
+                capture_output=True, text=True, timeout=3600)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("RESULT ")]
+            if not line:
+                raise RuntimeError(out.stderr[-300:])
+            row.update(feasible=True, **json.loads(line[0][7:]))
         except Exception as e:  # measured infeasibility beats the model
             row.update(feasible=False,
                        reason=f"failed on chip: {type(e).__name__}: "

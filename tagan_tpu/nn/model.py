@@ -271,16 +271,21 @@ class TAGAN:
             if use_flash:
                 from ..ops.pallas.flash_geometric import (
                     make_block_plans_from_edges, make_block_plans_from_mask)
-                # 256-row blocks when edge bias is active: the biased
-                # backward's combined delta1+dB walk carries two extra
-                # [BM, BN] f32 buffers (bias in, dbias out) and blows
-                # the 16 MB VMEM budget at 512x1024 (measured on v5e).
-                # Same rule under bf16_matmul: the backward walks keep
-                # f32 block windows AND bf16 casts of the [BM, BN]
-                # operands live for the MXU, and the dk/dv walk exceeds
-                # scoped VMEM at 512x1024 (measured 17.75M on v5e)
-                BM = c.flash_block_m or (
-                    256 if (want_edge_bias or c.bf16_matmul) else 512)
+                # 256-row blocks (round-4 sweep,
+                # benchmarks/results_block_sweep.json): at 256x1024 the
+                # FUSED single-walk backward fits scoped VMEM and the
+                # auto rule selects it — measured 211.3 ms for the 10K
+                # training step vs 259.5 at the old 512x1024 two-walk
+                # (1.23x), with the pure forward only ~2% slower (81.1
+                # vs 79.2 ms per 20-snapshot-pass loop). 256 rows are
+                # also REQUIRED under edge bias (the biased backward's
+                # delta1+dB walk carries two extra [BM, BN] f32
+                # buffers) and under bf16_matmul (the backward walks
+                # keep f32 block windows AND live bf16 casts; both
+                # measured over the 16 MB scoped-VMEM budget at
+                # 512x1024 on v5e). Pin flash_block_m=512 for
+                # forward-only serving if the ~2% matters.
+                BM = c.flash_block_m or 256
                 BN = c.flash_block_n or 1024
 
                 def _mask_and_plans(eq, ek, em, nm, adj_t):
