@@ -193,7 +193,16 @@ def part_c_hybrid(quick=False):
 
     N, DEG, T, F = (8192 if quick else 131_072), 16, 2, 8
     W = max(N // 256, 8)
+    # BIAS=1: the edge-biased hybrid (double softmax union-exact across
+    # the band/residual split) — plans must use block_m=256 (the biased
+    # backward's scoped-VMEM rule) and edge features ride the stream
+    biased = _os.environ.get("BIAS", "0") == "1"
     snaps, E = _snaps(N, DEG, T, F, locality=0.95, width=W)
+    if biased:
+        rng_b = np.random.default_rng(1)
+        for s in snaps:
+            s["edge_attr"] = rng_b.standard_normal(
+                (E, 4)).astype(np.float32)
     t0 = time.time()
     # host-side prep stays on the CPU backend: build_sequence commits
     # to the default device, and with_hybrid_plan reads arrays back —
@@ -201,8 +210,10 @@ def part_c_hybrid(quick=False):
     # CPU path costs ~0.1 s (CLAUDE.md gotcha)
     with jax.default_device(jax.devices("cpu")[0]):
         seq = tt.build_sequence(snaps, max_nodes=N, max_edges=E,
-                                max_time=T, dense_adj=False)
-        seq = seq.with_hybrid_plan(block_m=512, block_n=1024)
+                                max_time=T, dense_adj=False,
+                                edge_feature_dim=4 if biased else None)
+        seq = seq.with_hybrid_plan(block_m=256 if biased else 512,
+                                   block_n=1024)
     host_s = time.time() - t0
     S = int(seq.hyb_mask_blocks.shape[1])
     n_blocks_full = (N // 512) * ((N + 1023) // 1024)
@@ -215,7 +226,14 @@ def part_c_hybrid(quick=False):
     cfg = tt.TAGANConfig(hidden_dim=64, num_heads=4, num_layers=2,
                          node_feature_dim=F, output_dim=1,
                          loss_type="bce", dropout=0.0,
-                         spatial_backend="hybrid", remat=False)
+                         edge_feature_dim=4 if biased else 0,
+                         use_edge_features=biased,
+                         # biased needs remat: each layer-pass saves a
+                         # ~1 GB [S, 256, 1024] f32 bias store as a
+                         # custom_vjp residual — without remat the four
+                         # passes' residuals exceed HBM (measured
+                         # 22.4 G / 15.75 G)
+                         spatial_backend="hybrid", remat=biased)
     model = tt.TAGAN(cfg)
     tx = optax.adam(1e-3)
     params = model.init(jax.random.key(0))
@@ -240,6 +258,24 @@ def part_c_hybrid(quick=False):
     t0 = time.perf_counter()
     float(many(params, opt, seq))
     dt = (time.perf_counter() - t0) / ITERS
+
+    if biased:
+        out = {
+            "part": "C-biased 131K-node hybrid + edge-feature bias "
+                    "(union-exact double softmax) single chip",
+            "nodes": N, "edges_per_snapshot": E, "snapshots": T,
+            "locality": 0.95, "band_width": W, "block_m": 256,
+            "host_prep_s": round(host_s, 1),
+            "ms_per_step": round(dt * 1e3, 1),
+            "edges_per_s": round(E * T / dt, 0),
+        }
+        print(json.dumps(out))
+        path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "results_partition_hybrid_biased.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        return out
 
     # ---- phase breakdown (VERDICT r4 item 2): time the hybrid
     # attention's two partials in isolation (fwd+bwd through the same

@@ -432,7 +432,8 @@ def _band_bwd_dq_dkv(q, k, v, mask_blocks, bias_blocks, do, lse1_u,
 def _res_lse1(metric, q, k, nbr, nval, scale, true_d):
     """First-softmax logsumexp over residual slots: [H, N] with
     LSE_DEAD on rows without residual edges."""
-    k_e = jnp.take(k, nbr, axis=1)
+    from ..sparse import _pp_gather
+    (k_e,) = _pp_gather([k], nbr)          # node-major fused gather
     s, _, _ = _pp_scores_aux(metric, q, k_e, scale, true_d)
     s = jnp.where(nval[None], s, NEG_INF)
     m = jnp.max(s, axis=-1)
@@ -447,12 +448,14 @@ def _res_biased_partial(metric, q, k, v, nbr, nval, bias_res, lse1_u,
                         kap1, kap2, scale, true_d):
     """Residual partial of the SECOND softmax given the union lse1:
     (out_r [H, N, Dv], lse2_r [H, N]). kap1/kap2 are inverted-dropout
-    keep factors (all-ones when eval)."""
-    k_e = jnp.take(k, nbr, axis=1)
+    keep factors (None in eval — every keep multiply is skipped)."""
+    from ..sparse import _pp_gather
+    k_e, v_e = _pp_gather([k, v], nbr)     # ONE node-major gather
     s, _, _ = _pp_scores_aux(metric, q, k_e, scale, true_d)
     w1 = jnp.where(nval[None],
                    jnp.exp(s - _row_safe(lse1_u)[..., None]), 0.0)
-    z = jnp.where(nval[None], w1 * kap1 + bias_res[None], NEG_INF)
+    w1d = w1 if kap1 is None else w1 * kap1
+    z = jnp.where(nval[None], w1d + bias_res[None], NEG_INF)
     m2 = jnp.max(z, axis=-1)
     dead = m2 <= NEG_INF * 0.5
     m2s = jnp.where(dead, 0.0, m2)
@@ -460,8 +463,8 @@ def _res_biased_partial(metric, q, k, v, nbr, nval, bias_res, lse1_u,
     l2 = jnp.sum(e2, axis=-1)
     l2s = jnp.where(l2 == 0, 1.0, l2)
     p2 = e2 / l2s[..., None]
-    v_e = jnp.take(v, nbr, axis=1)
-    out = jnp.sum((p2 * kap2)[..., None] * v_e, axis=-2)
+    p2d = p2 if kap2 is None else p2 * kap2
+    out = jnp.sum(p2d[..., None] * v_e, axis=-2)
     lse2 = jnp.where(dead, LSE_DEAD, m2s + jnp.log(l2s))
     return out, lse2
 
@@ -471,17 +474,20 @@ def _res_bwd_query(metric, q, k, v, g, nbr, nval, bias_res, lse1_u,
     """Residual backward, query layout: returns (dz [H, N, W] for dB,
     delta1_res [H, N], and a continuation closure that — given the
     union delta1 — yields (dq_r, dscale_r))."""
-    k_e = jnp.take(k, nbr, axis=1)
+    from ..sparse import _pp_gather
+    k_e, v_e = _pp_gather([k, v], nbr)     # ONE node-major gather
     s, sq, qk = _pp_scores_aux(metric, q, k_e, scale, true_d)
     w1 = jnp.where(nval[None],
                    jnp.exp(s - _row_safe(lse1_u)[..., None]), 0.0)
-    z = w1 * kap1 + bias_res[None]
+    z = (w1 if kap1 is None else w1 * kap1) + bias_res[None]
     w2 = jnp.where(nval[None],
                    jnp.exp(z - _row_safe(lse2_u)[..., None]), 0.0)
-    dp2 = jnp.sum(g[:, :, None, :] * jnp.take(v, nbr, axis=1), axis=-1)
-    dz = w2 * (dp2 * kap2 - delta2[..., None])
+    dp2 = jnp.sum(g[:, :, None, :] * v_e, axis=-1)
+    if kap2 is not None:
+        dp2 = dp2 * kap2
+    dz = w2 * (dp2 - delta2[..., None])
     dz = jnp.where(nval[None], dz, 0.0)
-    dw1 = kap1 * dz
+    dw1 = dz if kap1 is None else kap1 * dz
     delta1_res = jnp.sum(w1 * dw1, axis=-1)
 
     def finish(delta1_u):
@@ -499,30 +505,48 @@ def _res_bwd_key(metric, q, k, v, g, inc, inc_slot, ival, bias_res,
                  lse1_u, lse2_u, delta2, kap1, kap2, delta1_u, scale,
                  true_d):
     """Residual backward, transposed key layout (no scatter): returns
-    (dk_r, dv_r). Per-edge quantities are re-derived through the
-    incidence tables; the SAME keep factors are read via inc_slot."""
-    q_e = jnp.take(q, inc, axis=1)                   # [H, N, Wt, D]
+    (dk_r, dv_r). Per-edge quantities (queries, output cotangents, the
+    four row statistics) ride ONE fused node-major gather over `inc`;
+    the SAME keep factors are read via inc_slot (dropout only)."""
+    from ..sparse import _pp_gather
+    q_e, g_i, stats_i = _pp_gather(
+        [q, g, jnp.stack([_row_safe(lse1_u), _row_safe(lse2_u),
+                          delta2, delta1_u], axis=-1)], inc)
     s_t, sq_t, qk_t = _pp_scores_aux(metric, k, q_e, scale, true_d)
-    lse1_i = jnp.take(_row_safe(lse1_u), inc, axis=1)
-    lse2_i = jnp.take(_row_safe(lse2_u), inc, axis=1)
-    delta2_i = jnp.take(delta2, inc, axis=1)
-    delta1_i = jnp.take(delta1_u, inc, axis=1)
-    kap1_t = kap1[:, inc, inc_slot]
-    kap2_t = kap2[:, inc, inc_slot]
+    lse1_i = stats_i[..., 0]
+    lse2_i = stats_i[..., 1]
+    delta2_i = stats_i[..., 2]
+    delta1_i = stats_i[..., 3]
+    if kap1 is not None:
+        H = q.shape[0]
+        W = kap1.shape[-1]
+        idx2 = (inc * W + inc_slot).reshape(-1)
+
+        def _tk(kap):
+            nm = jnp.moveaxis(kap, 0, -1).reshape(-1, H)
+            return jnp.moveaxis(
+                jnp.take(nm, idx2, axis=0).reshape(
+                    inc.shape[0], inc.shape[1], H), 2, 0)
+        kap1_t = _tk(kap1)
+        kap2_t = _tk(kap2)
+    else:
+        kap1_t = kap2_t = None
     b_t = bias_res[inc, inc_slot][None]
     w1_t = jnp.where(ival[None], jnp.exp(s_t - lse1_i), 0.0)
-    z_t = w1_t * kap1_t + b_t
+    z_t = (w1_t if kap1_t is None else w1_t * kap1_t) + b_t
     w2_t = jnp.where(ival[None], jnp.exp(z_t - lse2_i), 0.0)
-    g_i = jnp.take(g, inc, axis=1)                   # [H, N, Wt, Dv]
     dp2_t = jnp.sum(g_i * v[:, :, None, :], axis=-1)
-    dz_t = w2_t * (dp2_t * kap2_t - delta2_i)
+    if kap2_t is not None:
+        dp2_t = dp2_t * kap2_t
+    dz_t = w2_t * (dp2_t - delta2_i)
     dz_t = jnp.where(ival[None], dz_t, 0.0)
-    dw1_t = kap1_t * dz_t
+    dw1_t = dz_t if kap1_t is None else kap1_t * dz_t
     ds_t = w1_t * (dw1_t - delta1_i)
     ds_t = jnp.where(ival[None], ds_t, 0.0)
     dk_r = _pp_chain_drow(metric, ds_t, s_t, sq_t, qk_t, k, q_e, scale,
                           true_d)
-    dv_r = jnp.sum((w2_t * kap2_t)[..., None] * g_i, axis=-2)
+    w2d_t = w2_t if kap2_t is None else w2_t * kap2_t
+    dv_r = jnp.sum(w2d_t[..., None] * g_i, axis=-2)
     return dk_r, dv_r
 
 
@@ -671,7 +695,7 @@ def hybrid_biased_attention(
                          1.0 / keep_p, 0.0)
     else:
         seeds = jnp.zeros((2,), jnp.int32)
-        kap1 = kap2 = jnp.ones((H,) + nbr.shape, q.dtype)
+        kap1 = kap2 = None   # eval: skip every keep-factor op
     return _hybrid_biased(q, k, v, scale_param, bias_blocks, bias_res,
                           mask_blocks, *cplan, *cplan_t, nbr, nval, inc,
                           inc_slot, ival, kap1, kap2, seeds, metric,
