@@ -353,6 +353,91 @@ def part_c_hybrid(quick=False):
     band_ms = timeit(band_fb, qkv)
     res_ms = timeit(res_fb, qkv)
 
+    # ---- one level further down (VERDICT r4 item 4): attribute the
+    # glue around the two kernels — QKV/LN/head-split, the partial
+    # merge, head-merge/out-proj/residual/LN2 — and measure ONE full
+    # apply_hybrid layer-pass in isolation so unattributed time is
+    # pinned to a named slice instead of "the rest of encode_spatial".
+    from tagan_tpu.core import module as M2
+    inner = model.graph_attention.inner
+    lp0 = params["geometric_layers"]["layer_0"]["attn"]
+    x0 = jax.random.normal(jax.random.key(11), (N, cfg.hidden_dim),
+                           jnp.float32)
+    mb0 = mb[0]
+    pl0 = tuple(x[0] for x in pl_)
+    plt0 = tuple(x[0] for x in plt_)
+    req0, rek0, rem0 = (x[0] for x in seq.hyb_res)
+    rp0 = (tuple(x[0] for x in seq.hyb_res_pad)
+           if seq.hyb_res_pad is not None else None)
+    cp0 = (tuple(tuple(a[0] for a in b) for b in seq.hyb_res_cpad)
+           if seq.hyb_res_cpad is not None else None)
+    nm0 = seq.node_mask[0]
+
+    def chain(f_scalar, x0):
+        """fwd+bwd of f_scalar chained `reps` times with a data dep."""
+        def one(c, _):
+            g = jax.grad(f_scalar)(c)
+            return jax.tree_util.tree_map(
+                lambda a, b: a + 1e-6 * b, c, g), 0
+        c, _ = jax.lax.scan(one, x0, jnp2.arange(reps))
+        return c
+
+    def glue_qkv_fb(x):
+        def f(xx):
+            h = M2.layer_norm(lp0["ln1"], xx)
+            q = inner._split_heads(M2.linear(lp0["q"], h))
+            k = inner._split_heads(M2.linear(lp0["k"], h))
+            v = inner._split_heads(M2.linear(lp0["v"], h))
+            return jnp2.sum(q ** 2) + jnp2.sum(k ** 2) + jnp2.sum(v ** 2)
+        return chain(f, x)
+
+    def glue_post_fb(ctx0):
+        def f(cc):
+            ctx = inner._merge_heads(cc)
+            ctx = M2.linear(lp0["o"], ctx)
+            out = ctx + x0
+            out = M2.layer_norm(lp0["ln2"], out)
+            out = jnp2.where(nm0[:, None], out, x0)
+            return jnp2.sum(out ** 2)
+        return chain(f, ctx0)
+
+    def merge_fb(parts0):
+        def f(pp):
+            o, lse = SP.merge_attention_partials(
+                [(pp[0], pp[2]), (pp[1], pp[3])])
+            return jnp2.sum(o ** 2) + jnp2.sum(
+                jnp2.where(jnp2.abs(lse) < 1e29, lse, 0.0))
+        return chain(f, parts0)
+
+    def apply_hybrid_fb(x):
+        def f(xx):
+            out = inner.apply_hybrid(
+                lp0, xx, mb0, pl0, plt0, req0, rek0, rem0, nm0,
+                block_m=512, block_n=1024, res_pad=rp0, res_cpad=cp0)
+            return jnp2.sum(out ** 2)
+        return chain(f, x)
+
+    glue_qkv_ms = timeit(glue_qkv_fb, x0)
+    ctx0 = jax.random.normal(jax.random.key(12), (H, N, Dh), jnp.float32)
+    glue_post_ms = timeit(glue_post_fb, ctx0)
+    parts0 = (jax.random.normal(jax.random.key(13), (2, H, N, Dh))[0],
+              jax.random.normal(jax.random.key(14), (2, H, N, Dh))[0],
+              jax.random.normal(jax.random.key(15), (2, H, N))[0],
+              jax.random.normal(jax.random.key(16), (2, H, N))[0])
+    parts0 = jax.tree_util.tree_map(jnp.asarray, parts0)
+    merge_ms = timeit(merge_fb, parts0)
+    layer_ms = timeit(apply_hybrid_fb, x0)
+    sub = {
+        "glue_qkv_ln_split_ms": round(glue_qkv_ms, 2),
+        "glue_merge_heads_oproj_ln2_ms": round(glue_post_ms, 2),
+        "glue_partial_merge_ms": round(merge_ms, 2),
+        "apply_hybrid_layerpass_ms": round(layer_ms, 2),
+        "layerpass_unattributed_ms": round(
+            layer_ms - band_ms - res_ms - glue_qkv_ms - glue_post_ms
+            - merge_ms, 2),
+    }
+    print(json.dumps(sub), flush=True)
+
     # spatial encode (the full hybrid attention incl. QKV/LN/merge)
     def spatial_fb(p, s):
         def f(pp):
@@ -380,6 +465,7 @@ def part_c_hybrid(quick=False):
         "residual_ms_per_step": round(res_ms * cfg.num_layers * T, 1),
         "spatial_encode_ms_per_step": round(spatial_ms, 1),
         "rest_ms_per_step": round(dt * 1e3 - spatial_ms, 1),
+        **sub,
     }
     print(json.dumps(phases), flush=True)
 

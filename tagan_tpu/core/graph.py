@@ -112,6 +112,12 @@ class SnapshotSequence:
     # per-bucket 7-tuples (qid, nbr, nval, kid, inc, inc_slot, ival),
     # each [T, ...]. Preferred by the unbiased hybrid path when present.
     hyb_res_cpad: Optional[Tuple[Tuple[jax.Array, ...], ...]] = None
+    # per-bucket bias provenance for the compact residual: tuple of
+    # i32[T, Na_b, cap_b] arrays carrying each compact slot's original
+    # edge id (-1 padding) — the biased hybrid gathers per-layer bias
+    # values through these (round 5; mirrors hyb_res_bid for the
+    # plain padded layout)
+    hyb_res_cbid: Optional[Tuple[jax.Array, ...]] = None
     # edge-feature provenance for the biased hybrid backend
     # (ops.pallas.hybrid_biased): hyb_band_slot i32[T, E] maps each
     # original edge to its occupied band block slot (-1 = residual /
@@ -495,13 +501,20 @@ class SnapshotSequence:
                         tuple(max(a, c) for a, c in zip(x, y))
                         for x, y in zip(dims, dt)]
             cpads = [compact_padded_residual(
-                req[t], rek[t], rem[t], N, caps=caps, dims=dims)[0]
+                req[t], rek[t], rem[t], N, caps=caps, dims=dims,
+                edge_ids=res_ids[t])[0]
                 for t in range(T)]
             cpad_stacked = tuple(
                 tuple(jnp.asarray(np.stack([cpads[t][b][i]
                                             for t in range(T)]))
                       for i in range(7))
                 for b in range(len(caps)))
+            cbid_stacked = tuple(
+                jnp.asarray(np.stack([cpads[t][b][7]
+                                      for t in range(T)]))
+                for b in range(len(caps)))
+        else:
+            cbid_stacked = None
         return dataclasses.replace(
             self,
             hyb_mask_blocks=jnp.asarray(mask_blocks),
@@ -512,6 +525,7 @@ class SnapshotSequence:
                      jnp.asarray(rem)),
             hyb_res_pad=pads_stacked,
             hyb_res_cpad=cpad_stacked,
+            hyb_res_cbid=cbid_stacked,
             hyb_band_slot=jnp.asarray(band_slot),
             hyb_res_bid=res_bid)
 
@@ -775,7 +789,8 @@ def compact_padded_residual(eq: np.ndarray, ek: np.ndarray,
                             em: np.ndarray, num_nodes: int,
                             max_buckets: int = 3,
                             caps: Optional[list] = None,
-                            dims: Optional[list] = None):
+                            dims: Optional[list] = None,
+                            edge_ids: Optional[np.ndarray] = None):
     """Host-side: COO residual edges -> degree-bucketed COMPACT padded
     tables for `ops.sparse.edge_attention_partial_padded_compact`.
 
@@ -792,11 +807,15 @@ def compact_padded_residual(eq: np.ndarray, ek: np.ndarray,
        inc i32[Nk, dt], inc_slot, ival)
     with nbr indexing the bucket's compact key rows and inc its compact
     query rows. ``caps``/``dims`` pin static sizes across snapshots
-    (dims = per-bucket (Na, Nk, dt) triples)."""
+    (dims = per-bucket (Na, Nk, dt) triples). With ``edge_ids``
+    (aligned with ``eq``), each tuple gains an 8th array
+    ``bid i32[Na, cap]`` carrying the slot's original edge id (-1 on
+    padding) — the bias provenance for the compact biased residual."""
     eq = np.asarray(eq)
     ek = np.asarray(ek)
     em = np.asarray(em).astype(bool)
     vq, vk = eq[em], ek[em]
+    vid = None if edge_ids is None else np.asarray(edge_ids)[em]
     counts = np.bincount(vq, minlength=num_nodes)
     if caps is None:
         caps = _bucket_caps(counts, max_buckets)
@@ -824,9 +843,14 @@ def compact_padded_residual(eq: np.ndarray, ek: np.ndarray,
                 raise ValueError("compact bucket exceeds pinned dims")
         else:
             Na, Nk, dt = len(qid), len(kid), None
-        nbr, nval, inc, inc_slot, ival = pad_bipartite_edges(
+        packed = pad_bipartite_edges(
             q_pos[bq], k_pos[bk], np.ones(len(bq), bool),
-            max(Na, 1), max(Nk, 1), dmax=cap, dmax_t=dt)
+            max(Na, 1), max(Nk, 1), dmax=cap, dmax_t=dt,
+            edge_ids=None if vid is None else vid[e_sel])
+        if vid is None:
+            nbr, nval, inc, inc_slot, ival = packed
+        else:
+            nbr, nval, inc, inc_slot, ival, bbid = packed
         # pad row counts to the pinned statics (sentinel qid/kid =
         # num_nodes -> dropped by the runtime scatter / masked rows)
         def _pad_rows(a, n, fill=0):
@@ -839,11 +863,14 @@ def compact_padded_residual(eq: np.ndarray, ek: np.ndarray,
         Nk = max(Nk, 1)
         qid_p = _pad_rows(qid, Na, num_nodes)
         kid_p = _pad_rows(kid, Nk, num_nodes)
-        buckets.append((qid_p.astype(np.int32),
-                        _pad_rows(nbr, Na), _pad_rows(nval, Na, False),
-                        kid_p.astype(np.int32),
-                        _pad_rows(inc, Nk), _pad_rows(inc_slot, Nk),
-                        _pad_rows(ival, Nk, False)))
+        tup = (qid_p.astype(np.int32),
+               _pad_rows(nbr, Na), _pad_rows(nval, Na, False),
+               kid_p.astype(np.int32),
+               _pad_rows(inc, Nk), _pad_rows(inc_slot, Nk),
+               _pad_rows(ival, Nk, False))
+        if vid is not None:
+            tup = tup + (_pad_rows(bbid, Na, -1),)
+        buckets.append(tup)
     return buckets, caps
 
 
@@ -867,18 +894,26 @@ def _rows_plan(occ_mat: np.ndarray, W: int):
 def pad_bipartite_edges(eq: np.ndarray, ek: np.ndarray, em: np.ndarray,
                         n_q: int, n_k: int,
                         dmax: Optional[int] = None,
-                        dmax_t: Optional[int] = None):
+                        dmax_t: Optional[int] = None,
+                        edge_ids: Optional[np.ndarray] = None):
     """Rectangular variant of `pad_residual_edges`: queries index a
     [n_q]-row table, keys a [n_k]-row one (the ring's boundary
     compaction is shorter than the query shard). Returns
     (nbr i32[n_q, dmax], nval, inc i32[n_k, dmax_t], inc_slot, ival)
-    for `ops.sparse._padded_partial` with k/v of length n_k."""
+    for `ops.sparse._padded_partial` with k/v of length n_k.
+
+    With ``edge_ids`` (aligned with ``eq``), a sixth array
+    i32[n_q, dmax] carrying each slot's original edge id (-1 padding)
+    is appended — the bias provenance of the compact biased residual."""
     eq = np.asarray(eq)
     ek = np.asarray(ek)
     em = np.asarray(em).astype(bool)
     vq, vk = eq[em], ek[em]
+    vid = None if edge_ids is None else np.asarray(edge_ids)[em]
     order = np.argsort(vq, kind="stable")
     sq, sk = vq[order], vk[order]
+    if vid is not None:
+        vid = vid[order]
     counts = np.bincount(sq, minlength=n_q)
     if dmax is None:
         dmax = max(1, int(counts.max(initial=0)))
@@ -905,6 +940,10 @@ def pad_bipartite_edges(eq: np.ndarray, ek: np.ndarray, em: np.ndarray,
     inc[tk, pos2] = tq
     inc_slot[tk, pos2] = tslot
     ival[tk, pos2] = True
+    if vid is not None:
+        bid = np.full((n_q, dmax), -1, np.int32)
+        bid[sq, pos] = vid
+        return nbr, nval, inc, inc_slot, ival, bid
     return nbr, nval, inc, inc_slot, ival
 
 

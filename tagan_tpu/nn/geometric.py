@@ -288,8 +288,10 @@ class GeometricAttention:
         band_bias: Optional[jax.Array] = None,  # f32[S, BM, BN] compact
         res_bias: Optional[jax.Array] = None,   # f32[N, dmax] padded
         res_cpad=None,  # degree-bucketed COMPACT tables (preferred on
-                        # the unbiased path; core.graph.
-                        # compact_padded_residual)
+                        # both paths; core.graph.compact_padded_residual)
+        res_cbias=None,  # per-bucket compact bias tables (list of
+                         # f32[Na_b, cap_b]) — switches the biased path
+                         # onto the compact residual layout
     ) -> jax.Array:
         """Hybrid backend for very large graphs with locality (the
         post-RCM band structure, `core.graph.build_sequence(
@@ -324,10 +326,13 @@ class GeometricAttention:
                 f"metric {metric} is not MXU-expressible; the hybrid "
                 "backend needs the flash kernel — use 'csr'")
         biased = band_bias is not None
-        if biased and res_pad is None:
+        biased_compact = (biased and res_cpad is not None
+                          and res_cbias is not None)
+        if biased and res_pad is None and not biased_compact:
             raise ValueError(
                 "edge bias on the hybrid backend needs the padded "
-                "residual tables — rebuild the plan with "
+                "residual tables (or the compact tables + bias "
+                "provenance) — rebuild the plan with "
                 "with_hybrid_plan(padded_residual=True)")
         sigma, gamma, _ = self._metric_params(p)
         scale = sigma if sigma is not None else gamma
@@ -356,18 +361,27 @@ class GeometricAttention:
         from ..ops import sparse as S2
         if biased:
             from ..ops.pallas.flash_geometric import _l2_normalize
-            from ..ops.pallas.hybrid_biased import hybrid_biased_attention
+            from ..ops.pallas.hybrid_biased import (
+                hybrid_biased_attention, hybrid_biased_attention_compact)
             if metric in ("cosine_similarity", "cosine_distance"):
                 # normalize outside the custom_vjp so autodiff pulls
                 # the chain back
                 q = _l2_normalize(q)
                 k = _l2_normalize(k)
-            ctx = hybrid_biased_attention(
-                q, k, v, mask_blocks, band_plan, band_plan_t, res_pad,
-                band_bias, res_bias, metric=metric, scale_param=scale,
-                block_m=block_m, block_n=block_n, bf16=bf16,
-                dropout_rate=att_rate, dropout_seeds=band_seed,
-                dropout_rng=r_res)
+            if biased_compact:
+                ctx = hybrid_biased_attention_compact(
+                    q, k, v, mask_blocks, band_plan, band_plan_t,
+                    res_cpad, band_bias, res_cbias, metric=metric,
+                    scale_param=scale, block_m=block_m, block_n=block_n,
+                    bf16=bf16, dropout_rate=att_rate,
+                    dropout_seeds=band_seed, dropout_rng=r_res)
+            else:
+                ctx = hybrid_biased_attention(
+                    q, k, v, mask_blocks, band_plan, band_plan_t,
+                    res_pad, band_bias, res_bias, metric=metric,
+                    scale_param=scale, block_m=block_m, block_n=block_n,
+                    bf16=bf16, dropout_rate=att_rate,
+                    dropout_seeds=band_seed, dropout_rng=r_res)
         else:
             band = flash_geometric_attention_lse(
                 q, k, v, mask_blocks, metric=metric, scale_param=scale,

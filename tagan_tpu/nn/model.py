@@ -479,12 +479,16 @@ class TAGAN:
             step_rngs = None
 
         padded = seq.hyb_res_pad is not None
-        # compact degree-bucketed residual (round 4): preferred on the
-        # unbiased path — gather work ~1.5x the edge count instead of
-        # N*dmax (the biased path keeps the [N, dmax] layout its bias
-        # provenance is built for)
-        cpad = (seq.hyb_res_cpad if (seq.hyb_res_cpad is not None
-                                     and not want_edge_bias) else None)
+        # compact degree-bucketed residual (round 4/5): preferred on
+        # BOTH paths — gather work ~1.5x the edge count instead of
+        # N*dmax. The biased path needs the compact bias provenance
+        # (hyb_res_cbid, round 5); plans without it keep the [N, dmax]
+        # padded layout.
+        cpad = (seq.hyb_res_cpad
+                if (seq.hyb_res_cpad is not None
+                    and (not want_edge_bias
+                         or seq.hyb_res_cbid is not None)) else None)
+        biased_compact = want_edge_bias and cpad is not None
         ea_bias = (M.linear(p["edge_embedding"], seq.edge_attr)
                    if want_edge_bias else None)   # [T, E, hidden]
 
@@ -497,20 +501,23 @@ class TAGAN:
             cp = next(it) if cpad is not None else None
             nm = next(it)
             if ea_bias is not None:
-                ea_t, eq_t, ek_t, em_t, bslot_t, rbid_t = (
-                    next(it) for _ in range(6))
+                ea_t, eq_t, ek_t, em_t, bslot_t = (
+                    next(it) for _ in range(5))
+                cbid_t = next(it) if biased_compact else None
+                rbid_t = None if biased_compact else next(it)
             rt = next(it) if step_rngs is not None else None
             sk = xt
             for i in range(c.num_layers):
                 lp = p["geometric_layers"][f"layer_{i}"]
                 ri = None if rt is None else jax.random.fold_in(rt, i)
-                bb = rb = None
+                bb = rb = rbc = None
                 if ea_bias is not None and "edge_bias" in lp:
                     # per-layer head-shared scalar bias per edge,
                     # scattered into the compact band slot layout
                     # (invalid/residual edges route to the dropped slot
-                    # S) and gathered into the padded residual layout
-                    # through the plan's provenance ids
+                    # S) and gathered into the residual layout through
+                    # the plan's provenance ids (compact buckets when
+                    # available, else the [N, dmax] padded tables)
                     b_all = M.linear(lp["edge_bias"], ea_t)[..., 0]
                     b_all = jnp.where(em_t, b_all, 0.0)
                     sl = jnp.where(bslot_t >= 0, bslot_t, S)
@@ -518,14 +525,21 @@ class TAGAN:
                         sl, eq_t % BM, ek_t % BN].add(
                             jnp.where(bslot_t >= 0, b_all, 0.0),
                             mode="drop")
-                    safe = jnp.clip(rbid_t, 0, b_all.shape[0] - 1)
-                    rb = jnp.where(rbid_t >= 0, b_all[safe], 0.0)
+                    if biased_compact:
+                        rbc = [jnp.where(
+                            cb >= 0,
+                            b_all[jnp.clip(cb, 0, b_all.shape[0] - 1)],
+                            0.0) for cb in cbid_t]
+                    else:
+                        safe = jnp.clip(rbid_t, 0, b_all.shape[0] - 1)
+                        rb = jnp.where(rbid_t >= 0, b_all[safe], 0.0)
                 xt = ga.inner.apply_hybrid(
                     lp["attn"], xt, mb, (jl, jc, js), (il, ic, isl),
                     req, rek, rem, nm, deterministic=ri is None,
                     rng=ri, block_m=BM, block_n=BN,
                     bf16=c.bf16_matmul, res_pad=rp,
-                    band_bias=bb, res_bias=rb, res_cpad=cp)
+                    band_bias=bb, res_bias=rb, res_cpad=cp,
+                    res_cbias=rbc)
                 if i == 0:
                     if c.use_layer_norm:
                         xt = xt + M.layer_norm(p["skip_layer_norm"], sk)
@@ -544,8 +558,11 @@ class TAGAN:
         args = args + (seq.node_mask,)
         if ea_bias is not None:
             args = args + (ea_bias, seq.edge_src, seq.edge_dst,
-                           seq.edge_mask, seq.hyb_band_slot,
-                           seq.hyb_res_bid)
+                           seq.edge_mask, seq.hyb_band_slot)
+            if biased_compact:
+                args = args + (seq.hyb_res_cbid,)
+            else:
+                args = args + (seq.hyb_res_bid,)
         if step_rngs is not None:
             args = args + (step_rngs,)
         return jax.lax.map(one_step, args)

@@ -427,7 +427,7 @@ def edge_attention_partial_padded_compact(
     acc = jnp.concatenate(
         [jnp.zeros((N, H * Dv), q.dtype),
          jnp.full((N, H), NEG_INF, q.dtype)], axis=-1)
-    for b, (qid, nbr, nval, kid, inc, inc_slot, ival) in \
+    for b, (qid, nbr, nval, kid, inc, inc_slot, ival, *_bid) in \
             enumerate(buckets):
         (q_c,) = _pp_gather([q], jnp.minimum(qid, N - 1)[:, None])
         q_c = q_c[:, :, 0]
