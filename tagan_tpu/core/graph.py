@@ -289,7 +289,8 @@ class SnapshotSequence:
                            lf["dmax_t"])
             rf_diag, rf_off = _ring_flash_structs(
                 eq_t, ek_t, em_t, N, num_shards, max_boundary,
-                local_block_m, local_block_n, dims=lf_dims)
+                local_block_m, local_block_n, dims=lf_dims,
+                es_t=es_t)
         return dataclasses.replace(
             self,
             ring_eq=jnp.asarray(np.stack(eq_t)),
@@ -531,13 +532,22 @@ class SnapshotSequence:
 
 
 def _ring_flash_structs(eq_t, ek_t, em_t, N, G, Bp,
-                        block_m=None, block_n=None, dims=None):
+                        block_m=None, block_n=None, dims=None,
+                        es_t=None):
     """Host-side flash-local ring structures (with_ring_plan docstring):
     per (t, shard) compact occupied-block structure for the diagonal
     bucket (shard-local coordinates; ek already localized by
     make_boundary_plan) + per (t, gq, gk!=gq) rectangular padded-degree
     tables whose keys are positions into shard gk's boundary
-    compaction. All dims static via a sizing pass."""
+    compaction. All dims static via a sizing pass.
+
+    With ``es_t`` (per-snapshot bucket provenance, original edge ids,
+    -1 for self loops), two bias-provenance arrays are appended for the
+    BIASED flash-local ring (round 5): the diag tuple gains
+    ``eslot i32[T, G, Ep]`` (each diagonal-bucket entry's compact block
+    slot, -1 invalid) and the off tuple gains
+    ``obid i32[T, G, G, per, dmax]`` (each padded table slot's original
+    edge id, -1 padding)."""
     per = N // G
     T = len(eq_t)
     bm = block_m or min(512, -(-per // 8) * 8)
@@ -588,9 +598,13 @@ def _ring_flash_structs(eq_t, ek_t, em_t, N, G, Bp,
     oinc = np.zeros((T, G, G, Bp, dmax_t), np.int32)
     oincs = np.zeros((T, G, G, Bp, dmax_t), np.int32)
     oival = np.zeros((T, G, G, Bp, dmax_t), bool)
+    Ep = np.asarray(eq_t[0]).shape[-1]
+    deslot = np.full((T, G, Ep), -1, np.int32)
+    obid = np.full((T, G, G, per, dmax), -1, np.int32)
     for t in range(T):
         eqt, ekt, emt = (np.asarray(a) for a in
                          (eq_t[t], ek_t[t], em_t[t]))
+        est = None if es_t is None else np.asarray(es_t[t])
         for g in range(G):
             occ = occs[(t, g)]
             slot_flat = np.cumsum(occ.reshape(-1)).astype(np.int32) - 1
@@ -607,20 +621,28 @@ def _ring_flash_structs(eq_t, ek_t, em_t, N, G, Bp,
             kloc = ekt[g, g][m]
             slot_e = slot_flat[(qloc // bm) * n_j + kloc // bn]
             dmask[t, g][slot_e, qloc % bm, kloc % bn] = 1
+            deslot[t, g][m] = slot_e
             for gk in range(G):
                 if gk == g:
                     continue
                 mo = emt[g, gk]
-                nb, nv, ic_, is_, iv = pad_bipartite_edges(
+                packed = pad_bipartite_edges(
                     eqt[g, gk] - g * per, ekt[g, gk], mo, per, Bp,
-                    dmax=dmax, dmax_t=dmax_t)
+                    dmax=dmax, dmax_t=dmax_t,
+                    edge_ids=None if est is None else est[g, gk])
+                if est is None:
+                    nb, nv, ic_, is_, iv = packed
+                else:
+                    nb, nv, ic_, is_, iv, bd = packed
+                    obid[t, g, gk] = bd
                 onbr[t, g, gk], onval[t, g, gk] = nb, nv
                 oinc[t, g, gk], oincs[t, g, gk] = ic_, is_
                 oival[t, g, gk] = iv
     diag = tuple(jnp.asarray(a)
-                 for a in (dmask, djl, djc, djs, dil, dic, dis))
+                 for a in (dmask, djl, djc, djs, dil, dic, dis,
+                           deslot))
     off = tuple(jnp.asarray(a)
-                for a in (onbr, onval, oinc, oincs, oival))
+                for a in (onbr, onval, oinc, oincs, oival, obid))
     return diag, off
 
 

@@ -784,6 +784,147 @@ def make_boundary_ring_flash_attention(mesh: Mesh, metric: str, H: int,
                          out_specs=node_spec, check_vma=False)
 
 
+def make_boundary_ring_flash_biased_attention(mesh: Mesh, metric: str,
+                                              H: int, N: int, D: int,
+                                              dropout_rate: float = 0.0):
+    """Edge-BIASED flash-local boundary ring (round 5, VERDICT r4
+    item 2): the dense path's geometric-bias double softmax
+    (geometric_attention.py:567-575) with each shard's diagonal bucket
+    through the Pallas flash kernels and the boundary folds
+    scatter-free — composed from differentiable partials:
+
+      pass A   union lse1 = flash lse (diag) ⊕ per-hop bipartite score
+               logsumexps, folded by logaddexp (`_lse_union`)
+      pass B   `flash_biased_partial_lse` (diag, bias in the compact
+               block store scattered per shard) merged over lse2 with
+               per-hop `_res_biased_partial` folds (bias through the
+               padded tables' obid provenance)
+
+    Gradients — including through the union statistics — assemble by
+    plain autodiff over the partials' custom_vjps (the compositional
+    identity tested in tests/test_hybrid.py::
+    test_flash_biased_partial_compositional).
+
+    Returned signature (one snapshot's slice):
+        fn(q, k, v,
+           dmask, djl, djc, djs, dil, dic, dis, eslot,  # diag (8)
+           onbr, onval, oinc, oincs, oival, obid,       # off (6)
+           eq, ek, em, esrc,                            # raw buckets
+           b_all,                                       # f32[E] bias/edge
+           bidx, sigma, gamma, cov_inv
+           [, seeds, kap1, kap2])                       # train mode
+        -> [H, N, D] context (sharded by query owner)
+    ``seeds`` i32[G, 2] drives the diag kernels' two hash-PRNG drops;
+    ``kap1``/``kap2`` f32[H, G, G, per, dmax] carry the off-diagonal
+    inverted-dropout keep factors (query layout)."""
+    from ..ops import sparse as SP
+    from ..ops.pallas import hybrid_biased as HB
+    from ..ops.pallas.flash_geometric import (
+        MXU_METRICS, _COSINE, _l2_normalize,
+        flash_geometric_attention_lse)
+    if metric not in MXU_METRICS:
+        raise NotImplementedError(metric)
+    g = mesh.shape[GRAPH_AXIS]
+    assert N % g == 0, (N, g)
+    per = N // g
+    perm = [(i, (i + 1) % g) for i in range(g)]
+
+    node_spec = P(None, GRAPH_AXIS, None)
+    g1 = lambda extra: P(*((GRAPH_AXIS,) + (None,) * extra))  # noqa: E731
+    rep = P()
+
+    def local(q_l, k_l, v_l, dmask_l, djl_l, djc_l, djs_l, dil_l,
+              dic_l, dis_l, eslot_l, onbr_l, onval_l, oinc_l, oincs_l,
+              oival_l, obid_l, eq_l, ek_l, em_l, esrc_l, b_all,
+              bidx_l, sigma, gamma, cov_inv, seeds_l=None, kap1_l=None,
+              kap2_l=None):
+        my = jax.lax.axis_index(GRAPH_AXIS)
+        bm = dmask_l.shape[-2]
+        bn = dmask_l.shape[-1]
+        S_l = dmask_l.shape[-3]
+        scale = sigma if metric == "gaussian_kernel" else gamma
+        E = b_all.shape[0]
+        if metric in _COSINE:
+            # one convention everywhere: the flash kernel normalizes
+            # internally (idempotent on unit rows); the bipartite
+            # score helpers expect pre-normalized operands
+            q_l = _l2_normalize(q_l)
+            k_l = _l2_normalize(k_l)
+
+        # diag bias store: bucket provenance -> per-edge values ->
+        # compact block slots (invalid entries route out of bounds)
+        ed = esrc_l[0, my]
+        bvals = jnp.where(ed >= 0, b_all[jnp.clip(ed, 0, E - 1)], 0.0)
+        qloc = eq_l[0, my] - my * per
+        kloc = ek_l[0, my]
+        valid = em_l[0, my] & (eslot_l[0] >= 0)
+        sl = jnp.where(valid, eslot_l[0], S_l)
+        store = jnp.zeros((S_l, bm, bn), jnp.float32).at[
+            sl, qloc % bm, kloc % bn].add(
+            jnp.where(valid, bvals, 0.0), mode="drop")
+
+        dplan = (djl_l[0], djc_l[0], djs_l[0])
+        dplan_t = (dil_l[0], dic_l[0], dis_l[0])
+
+        # pass A: union first-softmax logsumexp (undropped by
+        # definition — dropout acts on normalized weights)
+        _, lse1 = flash_geometric_attention_lse(
+            q_l, k_l, v_l, dmask_l[0], metric=metric,
+            scale_param=scale, block_m=bm, block_n=bn,
+            plan=dplan, plan_t=dplan_t)
+        kb = jnp.take(k_l, bidx_l[0], axis=1)      # [H, Bp, D]
+        vb = jnp.take(v_l, bidx_l[0], axis=1)
+
+        def body_a(carry, step):
+            l1, kc = carry
+            kc = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
+            src = jax.lax.rem(my - step + g, g)
+            lse_h = HB._res_lse1(metric, q_l, kc, onbr_l[0, src],
+                                 onval_l[0, src], scale, D)
+            return (HB._lse_union(l1, lse_h), kc), 0
+
+        (lse1_u, _), _ = jax.lax.scan(body_a, (lse1, kb),
+                                      jnp.arange(1, g))
+
+        # pass B: biased partials of the second softmax, merged exactly
+        band = HB.flash_biased_partial_lse(
+            q_l, k_l, v_l, dmask_l[0], dplan, dplan_t, store, lse1_u,
+            metric=metric, scale_param=scale, block_m=bm, block_n=bn,
+            dropout_rate=dropout_rate, dropout_seeds=seeds_l)
+
+        def body_b(carry, step):
+            out, lse, kc, vc = carry
+            kc = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
+            vc = jax.lax.ppermute(vc, GRAPH_AXIS, perm)
+            src = jax.lax.rem(my - step + g, g)
+            ob = obid_l[0, src]
+            tab = jnp.where(ob >= 0,
+                            b_all[jnp.clip(ob, 0, E - 1)], 0.0)
+            k1 = None if kap1_l is None else kap1_l[:, 0, src]
+            k2 = None if kap2_l is None else kap2_l[:, 0, src]
+            part = HB._res_biased_partial(
+                metric, q_l, kc, vc, onbr_l[0, src], onval_l[0, src],
+                tab, lse1_u, k1, k2, scale, D)
+            out, lse = SP.merge_attention_partials([(out, lse), part])
+            return (out, lse, kc, vc), 0
+
+        (out, _, _, _), _ = jax.lax.scan(
+            body_b, (band[0], band[1], kb, vb), jnp.arange(1, g))
+        return out
+
+    specs = (node_spec, node_spec, node_spec,
+             g1(3), g1(2), g1(1), g1(2), g1(2), g1(1), g1(2), g1(1),
+             g1(3), g1(3), g1(3), g1(3), g1(3), g1(3),
+             g1(2), g1(2), g1(2), g1(2), rep,
+             g1(1), rep, rep, rep)
+    if dropout_rate > 0.0:
+        specs = specs + (g1(1),
+                         P(None, GRAPH_AXIS, None, None, None),
+                         P(None, GRAPH_AXIS, None, None, None))
+    return jax.shard_map(local, mesh=mesh, in_specs=specs,
+                         out_specs=node_spec, check_vma=False)
+
+
 def boundary_traffic_report(N: int, num_shards: int, Bp: int, H: int,
                             D: int, beta: float,
                             bytes_per_el: int = 4) -> dict:

@@ -489,8 +489,31 @@ class TAGAN:
                     and (not want_edge_bias
                          or seq.hyb_res_cbid is not None)) else None)
         biased_compact = want_edge_bias and cpad is not None
-        ea_bias = (M.linear(p["edge_embedding"], seq.edge_attr)
-                   if want_edge_bias else None)   # [T, E, hidden]
+
+        # Per-edge bias values for ALL layers at once (round 5): the
+        # per-edge scatter into the compact band store serializes at
+        # ~20-30 ns per update, so building the per-layer [S, BM, BN]
+        # stores separately pays T x L x (1 + remat) E-sized scatters
+        # per step. Instead: stack the L per-layer scalar biases per
+        # edge (the linears run once, outside the loop) and scatter
+        # ONCE per snapshot with an L-float payload inside one_step —
+        # halving the scatters while the [S, BM, BN, L] store stays a
+        # transient of one map step (hoisting it to lax.map xs was
+        # measured 405 MB over HBM at the 131K bench: store + its
+        # cross-step cotangent buffer are resident together there).
+        b_stack = None           # [T, E, L]
+        bias_layers = []
+        if want_edge_bias:
+            ea_emb = M.linear(p["edge_embedding"], seq.edge_attr)
+            for i in range(c.num_layers):
+                lp = p["geometric_layers"][f"layer_{i}"]
+                bias_layers.append("edge_bias" in lp)
+                b_i = (M.linear(lp["edge_bias"], ea_emb)[..., 0]
+                       if bias_layers[-1]
+                       else jnp.zeros(seq.edge_mask.shape))
+                b_stack = b_i[..., None] if b_stack is None else \
+                    jnp.concatenate([b_stack, b_i[..., None]], axis=-1)
+            b_stack = jnp.where(seq.edge_mask[..., None], b_stack, 0.0)
 
         def one_step(args):
             it = iter(args)
@@ -500,39 +523,41 @@ class TAGAN:
             rp = tuple(next(it) for _ in range(5)) if padded else None
             cp = next(it) if cpad is not None else None
             nm = next(it)
-            if ea_bias is not None:
-                ea_t, eq_t, ek_t, em_t, bslot_t = (
-                    next(it) for _ in range(5))
+            if want_edge_bias:
+                bst = next(it)                      # [E, L]
+                eq_t, ek_t, bslot_t = (next(it) for _ in range(3))
                 cbid_t = next(it) if biased_compact else None
                 rbid_t = None if biased_compact else next(it)
+                # ONE L-payload scatter per snapshot builds every
+                # layer's band store; residual bias for all layers
+                # rides one gather through the compact provenance
+                sl = jnp.where(bslot_t >= 0, bslot_t, S)
+                bbs = jnp.zeros((S, BM, BN, bst.shape[-1]),
+                                bst.dtype).at[
+                    sl, eq_t % BM, ek_t % BN].add(
+                        jnp.where((bslot_t >= 0)[..., None], bst,
+                                  0.0), mode="drop")
+                if biased_compact:
+                    rbc_all = [jnp.where(
+                        (cb >= 0)[..., None],
+                        bst[jnp.clip(cb, 0, bst.shape[0] - 1)], 0.0)
+                        for cb in cbid_t]
+                else:
+                    safe = jnp.clip(rbid_t, 0, bst.shape[0] - 1)
+                    rb_all = jnp.where((rbid_t >= 0)[..., None],
+                                       bst[safe], 0.0)
             rt = next(it) if step_rngs is not None else None
             sk = xt
             for i in range(c.num_layers):
                 lp = p["geometric_layers"][f"layer_{i}"]
                 ri = None if rt is None else jax.random.fold_in(rt, i)
                 bb = rb = rbc = None
-                if ea_bias is not None and "edge_bias" in lp:
-                    # per-layer head-shared scalar bias per edge,
-                    # scattered into the compact band slot layout
-                    # (invalid/residual edges route to the dropped slot
-                    # S) and gathered into the residual layout through
-                    # the plan's provenance ids (compact buckets when
-                    # available, else the [N, dmax] padded tables)
-                    b_all = M.linear(lp["edge_bias"], ea_t)[..., 0]
-                    b_all = jnp.where(em_t, b_all, 0.0)
-                    sl = jnp.where(bslot_t >= 0, bslot_t, S)
-                    bb = jnp.zeros((S, BM, BN), b_all.dtype).at[
-                        sl, eq_t % BM, ek_t % BN].add(
-                            jnp.where(bslot_t >= 0, b_all, 0.0),
-                            mode="drop")
+                if want_edge_bias and bias_layers[i]:
+                    bb = bbs[..., i]
                     if biased_compact:
-                        rbc = [jnp.where(
-                            cb >= 0,
-                            b_all[jnp.clip(cb, 0, b_all.shape[0] - 1)],
-                            0.0) for cb in cbid_t]
+                        rbc = [r[..., i] for r in rbc_all]
                     else:
-                        safe = jnp.clip(rbid_t, 0, b_all.shape[0] - 1)
-                        rb = jnp.where(rbid_t >= 0, b_all[safe], 0.0)
+                        rb = rb_all[..., i]
                 xt = ga.inner.apply_hybrid(
                     lp["attn"], xt, mb, (jl, jc, js), (il, ic, isl),
                     req, rek, rem, nm, deterministic=ri is None,
@@ -556,9 +581,9 @@ class TAGAN:
         if cpad is not None:
             args = args + (cpad,)
         args = args + (seq.node_mask,)
-        if ea_bias is not None:
-            args = args + (ea_bias, seq.edge_src, seq.edge_dst,
-                           seq.edge_mask, seq.hyb_band_slot)
+        if want_edge_bias:
+            args = args + (b_stack, seq.edge_src, seq.edge_dst,
+                           seq.hyb_band_slot)
             if biased_compact:
                 args = args + (seq.hyb_res_cbid,)
             else:
@@ -614,17 +639,25 @@ class TAGAN:
             step_rngs = jax.random.split(r, x.shape[0])
         else:
             step_rngs = None
-        # flash-local ring (VERDICT r3 item 1): when the plan carries
-        # the diagonal compact structures and the metric is
-        # MXU-expressible, the per-shard local math runs through the
-        # flash Pallas kernel + scatter-free boundary folds instead of
-        # COO segment scatters. Edge bias and mahalanobis/manhattan
-        # keep the segment-fold ring (exact, slower).
+        # flash-local ring (VERDICT r3 item 1 / r4 item 2): when the
+        # plan carries the diagonal compact structures and the metric
+        # is MXU-expressible, the per-shard local math runs through
+        # the flash Pallas kernel + scatter-free boundary folds
+        # instead of COO segment scatters — including the edge-biased
+        # double softmax (round 5: composed from
+        # flash_biased_partial_lse + bipartite folds; needs the plan's
+        # bias provenance, eslot/obid). mahalanobis/manhattan keep the
+        # segment-fold ring (exact, slower).
         use_lf = (halo and seq.ring_flash_diag is not None
-                  and not want_edge_bias and metric in MXU_METRICS)
+                  and metric in MXU_METRICS
+                  and (not want_edge_bias
+                       or (len(seq.ring_flash_diag) >= 8
+                           and len(seq.ring_flash_off) >= 6
+                           and seq.ring_esrc is not None)))
         if use_lf:
             return self._encode_ring_flash_local(
-                p, seq, x, metric, Dh, g, rate, step_rngs)
+                p, seq, x, metric, Dh, g, rate, step_rngs,
+                want_edge_bias)
         # mahalanobis rides the generic edgewise kernel via cov_inv
         if halo:
             # boundary-only exchange: only the rows other shards
@@ -701,20 +734,29 @@ class TAGAN:
         return (x, None) if return_weights else x
 
     def _encode_ring_flash_local(self, p, seq, x, metric, Dh, g, rate,
-                                 step_rngs):
+                                 step_rngs, want_edge_bias=False):
         """Flash-local ring: diagonal buckets through the compact-mask
         flash kernel per shard + scatter-free padded boundary folds
-        (dist.edge_partition.make_boundary_ring_flash_attention)."""
+        (dist.edge_partition.make_boundary_ring_flash_attention; the
+        edge-biased double-softmax variant when ``want_edge_bias``)."""
         c = self.config
-        from ..dist.edge_partition import \
-            make_boundary_ring_flash_attention
-        ring_fn = make_boundary_ring_flash_attention(
-            self.mesh, metric, c.num_heads, seq.x.shape[1], Dh,
-            dropout_rate=rate)
+        from ..dist.edge_partition import (
+            make_boundary_ring_flash_attention,
+            make_boundary_ring_flash_biased_attention)
+        if want_edge_bias:
+            ring_fn = make_boundary_ring_flash_biased_attention(
+                self.mesh, metric, c.num_heads, seq.x.shape[1], Dh,
+                dropout_rate=rate)
+        else:
+            ring_fn = make_boundary_ring_flash_attention(
+                self.mesh, metric, c.num_heads, seq.x.shape[1], Dh,
+                dropout_rate=rate)
         ga = self.graph_attention
         H = c.num_heads
         per = seq.ring_flash_off[0].shape[-2]
         dmax = seq.ring_flash_off[0].shape[-1]
+        ea_bias = (M.linear(p["edge_embedding"], seq.edge_attr)
+                   if want_edge_bias else None)   # [T, E, hidden]
 
         def one_step(args):
             it = iter(args)
@@ -722,22 +764,48 @@ class TAGAN:
             nm = next(it)
             bidx = next(it)
             d7 = tuple(next(it) for _ in range(7))
-            o5 = tuple(next(it) for _ in range(5))
+            if want_edge_bias:
+                eslot = next(it)
+                o5 = tuple(next(it) for _ in range(5))
+                obid = next(it)
+                eq_t, ek_t, em_t, esrc_t, ea_t = (
+                    next(it) for _ in range(5))
+            else:
+                o5 = tuple(next(it) for _ in range(5))
             rt = next(it) if step_rngs is not None else None
 
-            def core(qh, kh, vh, sig, gam, cov, r_att):
+            def core(qh, kh, vh, sig, gam, cov, r_att, b_all=None):
                 extra = ()
                 if r_att is not None:
                     r1, r2 = jax.random.split(r_att)
-                    seeds = jax.random.randint(
-                        r1, (g,), 0, jnp.iinfo(jnp.int32).max,
-                        dtype=jnp.int32)
                     keep_p = 1.0 - c.dropout
-                    kap = jnp.where(
-                        jax.random.bernoulli(r2, keep_p,
-                                             (H, g, g, per, dmax)),
-                        1.0 / keep_p, 0.0).astype(qh.dtype)
-                    extra = (seeds, kap)
+                    if b_all is not None:
+                        r2a, r2b = jax.random.split(r2)
+                        seeds = jax.random.randint(
+                            r1, (g, 2), 0, jnp.iinfo(jnp.int32).max,
+                            dtype=jnp.int32)
+                        kap1 = jnp.where(
+                            jax.random.bernoulli(r2a, keep_p,
+                                                 (H, g, g, per, dmax)),
+                            1.0 / keep_p, 0.0).astype(qh.dtype)
+                        kap2 = jnp.where(
+                            jax.random.bernoulli(r2b, keep_p,
+                                                 (H, g, g, per, dmax)),
+                            1.0 / keep_p, 0.0).astype(qh.dtype)
+                        extra = (seeds, kap1, kap2)
+                    else:
+                        seeds = jax.random.randint(
+                            r1, (g,), 0, jnp.iinfo(jnp.int32).max,
+                            dtype=jnp.int32)
+                        kap = jnp.where(
+                            jax.random.bernoulli(r2, keep_p,
+                                                 (H, g, g, per, dmax)),
+                            1.0 / keep_p, 0.0).astype(qh.dtype)
+                        extra = (seeds, kap)
+                if b_all is not None:
+                    return ring_fn(qh, kh, vh, *d7, eslot, *o5, obid,
+                                   eq_t, ek_t, em_t, esrc_t, b_all,
+                                   bidx, sig, gam, cov, *extra)
                 return ring_fn(qh, kh, vh, *d7, *o5, bidx, sig, gam,
                                cov, *extra)
 
@@ -745,7 +813,11 @@ class TAGAN:
             for i in range(c.num_layers):
                 lp = p["geometric_layers"][f"layer_{i}"]
                 ri = None if rt is None else jax.random.fold_in(rt, i)
-                xt = ga.inner.apply_ring(lp["attn"], xt, core, nm,
+                core_i = core
+                if want_edge_bias and "edge_bias" in lp:
+                    b_all = M.linear(lp["edge_bias"], ea_t)[..., 0]
+                    core_i = functools.partial(core, b_all=b_all)
+                xt = ga.inner.apply_ring(lp["attn"], xt, core_i, nm,
                                          deterministic=ri is None,
                                          rng=ri)
                 if i == 0:
@@ -757,8 +829,14 @@ class TAGAN:
 
         if c.remat:
             one_step = jax.checkpoint(one_step)
-        args = (x, seq.node_mask, seq.ring_bnd_idx,
-                *seq.ring_flash_diag, *seq.ring_flash_off)
+        if want_edge_bias:
+            args = (x, seq.node_mask, seq.ring_bnd_idx,
+                    *seq.ring_flash_diag[:8], *seq.ring_flash_off[:6],
+                    seq.ring_eq, seq.ring_ek, seq.ring_em,
+                    seq.ring_esrc, ea_bias)
+        else:
+            args = (x, seq.node_mask, seq.ring_bnd_idx,
+                    *seq.ring_flash_diag[:7], *seq.ring_flash_off[:5])
         if step_rngs is not None:
             args = args + (step_rngs,)
         return jax.lax.map(one_step, args)

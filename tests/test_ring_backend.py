@@ -424,6 +424,56 @@ def test_ring_flash_local_path_runs_and_matches_dense():
         FG2.pl.pallas_call = old
 
 
+def test_ring_flash_local_biased_path_runs_and_matches_dense():
+    """Round 5 (VERDICT r4 item 2): with edge features ON and a
+    boundary plan, the biased ring's local math must go through the
+    flash Pallas kernels (asserted by counting pallas calls — the
+    biased path launches the lse1 + biased-main walks per layer) and
+    match the dense double softmax (logits, one SGD step of grads)."""
+    import jax.experimental.pallas as pl
+    import jax.flatten_util  # noqa: F401
+    import tagan_tpu.ops.pallas.flash_geometric as FG2
+    calls = []
+    orig = pl.pallas_call
+
+    def probe(*a, **kw):
+        calls.append(1)
+        kw.setdefault("interpret", True)
+        return orig(*a, **kw)
+
+    old = FG2.pl.pallas_call
+    FG2.pl.pallas_call = probe
+    try:
+        seqs, labels, Fe = _edge_feature_setup(seed=53, num_samples=1)
+        seq = seqs[0].with_ring_plan(4, boundary=True)
+        assert len(seq.ring_flash_diag) >= 8      # eslot provenance
+        assert len(seq.ring_flash_off) >= 6       # obid provenance
+        mesh = make_mesh(data=2, graph=4)
+        cfg = tt.TAGANConfig(hidden_dim=16, num_heads=2, num_layers=2,
+                             node_feature_dim=8, edge_feature_dim=Fe,
+                             use_edge_features=True, output_dim=1,
+                             loss_type="bce", dropout=0.0,
+                             spatial_backend="ring")
+        ring = TAGAN(cfg, mesh=mesh)
+        dense = TAGAN(cfg.replace(spatial_backend="dense"))
+        params = ring.init(jax.random.key(0))
+        calls.clear()
+        r = ring(params, seq).logits
+        assert len(calls) >= cfg.num_layers   # flash kernels per layer
+        d = dense(params, seq).logits
+        np.testing.assert_allclose(np.asarray(r), np.asarray(d),
+                                   rtol=2e-4, atol=2e-5)
+        g = jax.grad(lambda p: ring(p, seq, labels[0]).loss)(params)
+        gd = jax.grad(lambda p: dense(p, seq, labels[0]).loss)(params)
+        fr, _ = jax.flatten_util.ravel_pytree(g)
+        fd, _ = jax.flatten_util.ravel_pytree(gd)
+        assert np.isfinite(np.asarray(fr)).all()
+        np.testing.assert_allclose(np.asarray(fr), np.asarray(fd),
+                                   rtol=5e-3, atol=5e-5)
+    finally:
+        FG2.pl.pallas_call = old
+
+
 def test_ring_flash_local_dropout():
     """Flash-local ring in train mode: in-kernel band dropout (per-shard
     seeds) + padded-fold keep factors — eval matches dense, stochastic
