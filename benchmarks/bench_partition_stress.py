@@ -228,12 +228,14 @@ def part_c_hybrid(quick=False):
                          loss_type="bce", dropout=0.0,
                          edge_feature_dim=4 if biased else 0,
                          use_edge_features=biased,
-                         # biased needs remat: each layer-pass saves a
-                         # ~1 GB [S, 256, 1024] f32 bias store as a
-                         # custom_vjp residual — without remat the four
-                         # passes' residuals exceed HBM (measured
-                         # 22.4 G / 15.75 G)
-                         spatial_backend="hybrid", remat=biased)
+                         # biased defaults to remat (round 4: without
+                         # it the four passes' separate 1 GB bias-store
+                         # residuals exceeded HBM, 22.4 G / 15.75 G).
+                         # Round 5's one-store-per-snapshot build may
+                         # alias across layers — REMAT=0 probes that.
+                         spatial_backend="hybrid",
+                         remat=(biased and _os.environ.get(
+                             "REMAT", "1") == "1"))
     model = tt.TAGAN(cfg)
     tx = optax.adam(1e-3)
     params = model.init(jax.random.key(0))
@@ -281,6 +283,27 @@ def part_c_hybrid(quick=False):
         return float(np.median(ts))
 
     if biased:
+        # step result FIRST (measured above): persist before the phase
+        # timers — their large compiles have crashed the compile relay
+        out = {
+            "part": "C-biased 131K-node hybrid + edge-feature bias "
+                    "(union-exact double softmax) single chip",
+            "nodes": N, "edges_per_snapshot": E, "snapshots": T,
+            "locality": 0.95, "band_width": W, "block_m": 256,
+            "residual_layout": "compact"
+            if seq.hyb_res_cbid is not None else "padded",
+            "host_prep_s": round(host_s, 1),
+            "ms_per_step": round(dt * 1e3, 1),
+            "ms_per_step_reps": [round(d * 1e3, 1) for d in dts],
+            "edges_per_s": round(E * T / dt, 0),
+        }
+        print(json.dumps(out), flush=True)
+        path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "results_partition_hybrid_biased.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+
         # ---- biased phase attribution (VERDICT r4 item 1): isolated
         # biased layer-pass (compact residual) + the bias plumbing
         # (hoisted L-payload scatter + compact provenance gathers),
@@ -309,6 +332,10 @@ def part_c_hybrid(quick=False):
         nm0 = seq.node_mask[0]
 
         def biased_layer_fb(x):
+            # jax.checkpoint mirrors the model's remat'd shape — the
+            # un-remat'd backward graph has repeatedly crashed the
+            # remote compile server at this scale
+            @jax.checkpoint
             def f(xx):
                 out = inner.apply_hybrid(
                     lp0, xx, mb0, pl0, plt0, req0, rek0, rem0, nm0,
@@ -323,7 +350,15 @@ def part_c_hybrid(quick=False):
             c, _ = jax.lax.scan(one, x, jnp2.arange(reps))
             return c
 
-        biased_layer_ms = timeit(biased_layer_fb, x0)
+        def _try(f, *a):
+            try:
+                return f(*a)
+            except Exception as e:   # phase timers are best-effort
+                print(json.dumps({"phase_error": str(e)[:200]}),
+                      flush=True)
+                return float("nan")
+
+        biased_layer_ms = _try(timeit, biased_layer_fb, x0)
 
         # bias plumbing: the hoisted all-layer scatter + compact
         # provenance gathers, fwd+bwd, per STEP
@@ -335,14 +370,23 @@ def part_c_hybrid(quick=False):
         cbid = seq.hyb_res_cbid
 
         def plumb_fb(bst):
+            # the model's round-5 formulation: _scatter_bias_store
+            # (L scalar flat scatters fwd / one L-gather bwd) per
+            # snapshot + the compact-provenance residual gathers
+            from tagan_tpu.nn.model import _scatter_bias_store
+            P_ = S_b * BMb * BNb
+
             def f(bs):
-                t_idx = jnp2.arange(T)[:, None]
-                bb = jnp2.zeros((T, S_b, BMb, BNb, L), bs.dtype).at[
-                    t_idx, sl_all, seq.edge_src % BMb,
-                    seq.edge_dst % BNb].add(
-                    jnp2.where((seq.hyb_band_slot >= 0)[..., None],
-                               bs, 0.0), mode="drop")
-                tot = jnp2.sum(bb ** 2)
+                tot = 0.0
+                for t in range(T):
+                    bslot_t = seq.hyb_band_slot[t]
+                    pos = jnp2.where(
+                        bslot_t >= 0,
+                        bslot_t * (BMb * BNb)
+                        + (seq.edge_src[t] % BMb) * BNb
+                        + seq.edge_dst[t] % BNb, P_)
+                    bb = _scatter_bias_store(bs[t], pos, P_)
+                    tot = tot + jnp2.sum(bb ** 2)
                 for cb in cbid:
                     r = jax.vmap(
                         lambda bt, cbt: jnp2.where(
@@ -357,7 +401,7 @@ def part_c_hybrid(quick=False):
             c, _ = jax.lax.scan(one, bst, jnp2.arange(ITERS))
             return c
 
-        plumb_ms = timeit(plumb_fb, bst0) * reps / ITERS  # per step
+        plumb_ms = _try(timeit, plumb_fb, bst0) * reps / ITERS
 
         # spatial encode fwd+bwd (full biased attention incl. glue)
         def spatial_fb(p, s):
@@ -374,14 +418,17 @@ def part_c_hybrid(quick=False):
                 lambda a, b: a + jnp2.sum(b.astype(jnp2.float32)),
                 c, 0.0)
 
-        jsp = jax.jit(spatial_fb)
-        float(jsp(params, seq))
-        sps = []
-        for _ in range(1 if quick else 3):
-            t0 = time.perf_counter()
+        def _spatial():
+            jsp = jax.jit(spatial_fb)
             float(jsp(params, seq))
-            sps.append((time.perf_counter() - t0) / ITERS * 1e3)
-        spatial_ms = float(np.median(sps))
+            sps = []
+            for _ in range(1 if quick else 3):
+                t0 = time.perf_counter()
+                float(jsp(params, seq))
+                sps.append((time.perf_counter() - t0) / ITERS * 1e3)
+            return float(np.median(sps))
+
+        spatial_ms = _try(_spatial)
 
         phases = {
             "biased_layerpass_ms": round(biased_layer_ms, 2),

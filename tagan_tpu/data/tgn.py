@@ -93,6 +93,9 @@ def create_tgn_synthetic(num_users: int = 1000, num_items: int = 500,
                          burst_len: int = 24,
                          burst_span: float = 0.0,
                          burst_feat_shift: float = 2.0,
+                         num_decoy_bursts: int = 0,
+                         decoy_feat_shift: float = 0.0,
+                         burst_label_noise: float = 0.0,
                          seed: int = 0) -> TemporalInteractionStream:
     """Bipartite interaction stream with power-law item popularity and
     bursty user repeat behavior — the statistical shape of the JODIE
@@ -107,7 +110,17 @@ def create_tgn_synthetic(num_users: int = 1000, num_items: int = 500,
     ``burst_feat_shift`` added to the burst events' edge features (the
     JODIE datasets' state-change signature lives in the edge features
     the same way), so windows containing a burst are predictably
-    positive."""
+    positive.
+
+    Difficulty dials (round 5 — a benchmark saturated at AUC 1.0 can
+    neither catch regressions nor rank readouts):
+    ``num_decoy_bursts`` adds bursts with the SAME activity spike but
+    ``decoy_feat_shift`` (default 0: plain noise) on their features and
+    label 0 — the activity signal alone then produces false positives,
+    forcing the readout onto the feature signature;
+    ``burst_label_noise`` silently unlabels each real burst with that
+    probability (a false-negative rate in the labels — irreducible
+    error that caps attainable AUC below 1)."""
     rng = np.random.default_rng(seed)
     item_pop = rng.zipf(1.5, num_items).astype(np.float64)
     item_pop /= item_pop.sum()
@@ -129,25 +142,31 @@ def create_tgn_synthetic(num_users: int = 1000, num_items: int = 500,
     fe = rng.standard_normal((num_events, edge_feat_dim)).astype(np.float32)
     label = (rng.random(num_events) < state_change_rate).astype(np.float32)
 
-    if num_churn_bursts > 0:
+    if num_churn_bursts > 0 or num_decoy_bursts > 0:
         span = burst_span or time_span / 1000.0
-        churners = rng.choice(num_users, num_churn_bursts, replace=False)
-        b_src, b_dst, b_t = [], [], []
-        for u in churners:
+        n_all = num_churn_bursts + num_decoy_bursts
+        users_b = rng.choice(num_users, n_all, replace=False)
+        b_src, b_dst, b_t, b_fe, b_lb = [], [], [], [], []
+        for i, u in enumerate(users_b):
+            real = i < num_churn_bursts
             t_c = rng.random() * (time_span - span)
             b_src.extend([u] * burst_len)
             b_dst.extend(rng.choice(num_items, burst_len,
                                     p=item_pop).tolist())
             b_t.extend((t_c + np.sort(rng.random(burst_len)) * span)
                        .tolist())
+            shift = burst_feat_shift if real else decoy_feat_shift
+            b_fe.append(shift + rng.standard_normal(
+                (burst_len, edge_feat_dim)).astype(np.float32))
+            lab = 1.0 if (real and
+                          rng.random() >= burst_label_noise) else 0.0
+            b_lb.extend([lab] * burst_len)
         src = np.concatenate([src, np.asarray(b_src)])
         dst = np.concatenate([dst, np.asarray(b_dst)])
         t = np.concatenate([t, np.asarray(b_t)])
-        fe = np.concatenate(
-            [fe, burst_feat_shift + rng.standard_normal(
-                (len(b_src), edge_feat_dim)).astype(np.float32)])
+        fe = np.concatenate([fe] + b_fe)
         label = np.concatenate(
-            [label, np.ones(len(b_src), np.float32)])
+            [label, np.asarray(b_lb, np.float32)])
 
     return TemporalInteractionStream(
         src=src.astype(np.int64),

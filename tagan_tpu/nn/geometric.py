@@ -369,6 +369,11 @@ class GeometricAttention:
                 q = _l2_normalize(q)
                 k = _l2_normalize(k)
             if biased_compact:
+                # (q/k/v stay UN-named: recomputing them is LN/linear
+                # glue, and naming them was measured 880 MB over HBM
+                # at the 131K bench — the walks still skip recompute
+                # because their out/lse residuals are named inside
+                # hybrid_biased's fwd)
                 ctx = hybrid_biased_attention_compact(
                     q, k, v, mask_blocks, band_plan, band_plan_t,
                     res_cpad, band_bias, res_cbias, metric=metric,

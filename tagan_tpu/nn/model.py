@@ -53,6 +53,39 @@ from .propagation import TemporalPropagation
 from .temporal_attention import AsymmetricTemporalAttention
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _scatter_bias_store(vals, pos, P):
+    """Band bias store build: vals [E, L] per-edge per-layer biases,
+    pos i32[E] flat store positions (sentinel >= P dropped). Returns
+    [L, P]. Forward = L SCALAR flat scatters; backward = ONE L-payload
+    row gather. Why a custom_vjp: a single L-payload scatter lowers
+    ~4x slower than L scalar scatters on TPU (measured 204 vs 76 ms at
+    E=2M, L=2 — the L-minor layout tile-pads), while the L-payload
+    GATHER is the fast direction (52 vs 117 ms) — so forward and
+    backward want OPPOSITE formulations, which autodiff alone cannot
+    give."""
+    return _sbs_fwd(vals, pos, P)[0]
+
+
+def _sbs_fwd(vals, pos, P):
+    out = jnp.stack([
+        jnp.zeros((P,), vals.dtype).at[pos].add(vals[:, l],
+                                                mode="drop")
+        for l in range(vals.shape[1])])
+    return out, pos
+
+
+def _sbs_bwd(P, pos, g):
+    gt = jnp.moveaxis(g, 0, 1)                      # [P, L]
+    safe = jnp.clip(pos, 0, P - 1)
+    dv = jnp.take(gt, safe, axis=0)
+    return jnp.where((pos >= 0)[:, None] & (pos < P)[:, None],
+                     dv, 0.0), None
+
+
+_scatter_bias_store.defvjp(_sbs_fwd, _sbs_bwd)
+
+
 class TAGANOutput(NamedTuple):
     logits: jax.Array
     predictions: jax.Array
@@ -528,15 +561,20 @@ class TAGAN:
                 eq_t, ek_t, bslot_t = (next(it) for _ in range(3))
                 cbid_t = next(it) if biased_compact else None
                 rbid_t = None if biased_compact else next(it)
-                # ONE L-payload scatter per snapshot builds every
-                # layer's band store; residual bias for all layers
-                # rides one gather through the compact provenance
-                sl = jnp.where(bslot_t >= 0, bslot_t, S)
-                bbs = jnp.zeros((S, BM, BN, bst.shape[-1]),
-                                bst.dtype).at[
-                    sl, eq_t % BM, ek_t % BN].add(
-                        jnp.where((bslot_t >= 0)[..., None], bst,
-                                  0.0), mode="drop")
+                # one store build per snapshot serves every layer
+                # (L scalar flat scatters fwd / one L-payload gather
+                # bwd — _scatter_bias_store); checkpoint_name keeps it
+                # as a remat residual so the backward does not pay the
+                # E-sized scatters again. Residual bias for all layers
+                # rides one gather through the compact provenance.
+                P = S * BM * BN
+                pos = jnp.where(
+                    bslot_t >= 0,
+                    bslot_t * (BM * BN) + (eq_t % BM) * BN
+                    + ek_t % BN, P)
+                from jax.ad_checkpoint import checkpoint_name
+                bbs = _scatter_bias_store(bst, pos, P)      # [L, P]
+                bbs = checkpoint_name(bbs, "bias_store")
                 if biased_compact:
                     rbc_all = [jnp.where(
                         (cb >= 0)[..., None],
@@ -553,7 +591,7 @@ class TAGAN:
                 ri = None if rt is None else jax.random.fold_in(rt, i)
                 bb = rb = rbc = None
                 if want_edge_bias and bias_layers[i]:
-                    bb = bbs[..., i]
+                    bb = bbs[i].reshape(S, BM, BN)
                     if biased_compact:
                         rbc = [r[..., i] for r in rbc_all]
                     else:
@@ -573,7 +611,16 @@ class TAGAN:
             return xt
 
         if c.remat:
-            one_step = jax.checkpoint(one_step)
+            policy = None
+            if want_edge_bias:
+                # save the bias store (its per-edge scatters are the
+                # expensive build) AND the biased kernels' custom_vjp
+                # residuals (qkv/out/lse — cheap to hold, expensive to
+                # recompute: the walks) — the remat recompute then
+                # reduces to LN/linear glue
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "bias_store", "hyb_bias_res")
+            one_step = jax.checkpoint(one_step, policy=policy)
         args = (x, seq.hyb_mask_blocks, *seq.hyb_plan, *seq.hyb_plan_t,
                 *seq.hyb_res)
         if padded:

@@ -881,6 +881,7 @@ def _make_hybrid_biased_compact(metric, block_m, block_n, bf16,
         return head, buckets, biases, kaps
 
     def fwd_impl(args):
+        from jax.ad_checkpoint import checkpoint_name
         from ..sparse import merge_attention_partials
         (q, k, v, scale, bias_blocks, mask_blocks, jlist, jcount,
          jslot, ilist, icount, islot, seeds), buckets, biases, kaps = \
@@ -902,6 +903,14 @@ def _make_hybrid_biased_compact(metric, block_m, block_n, bf16,
         res = _res_c_partial(metric, buckets, biases, kaps, cache,
                              lse1_u, N, Dv)
         out, lse2_u = merge_attention_partials([band, res])
+        # name the custom_vjp residuals: under jax.checkpoint with
+        # save_only_these_names('hyb_bias_res', ...) the backward then
+        # reads them directly instead of re-running the forward walks
+        # (~100 MB/pass at 131K — the cheap-to-save / expensive-to-
+        # recompute split)
+        lse1_u = checkpoint_name(lse1_u, "hyb_bias_res")
+        lse2_u = checkpoint_name(lse2_u, "hyb_bias_res")
+        out = checkpoint_name(out, "hyb_bias_res")
         return out, (args, lse1_u, lse2_u, out)
 
     @jax.custom_vjp
