@@ -110,6 +110,9 @@ def run_case(N_s, deg, G, H, Dh, quick=False, seed=0):
     REPS = 3 if quick else 10
 
     def timeit(fn, *args):
+        # everything rides as jit ARGUMENTS — closed-over arrays become
+        # baked constants and overflow the compile relay's request-body
+        # limit (HTTP 413)
         jf = jax.jit(fn)
         r = jf(*args)
         float(jnp.sum(r))
@@ -121,7 +124,7 @@ def run_case(N_s, deg, G, H, Dh, quick=False, seed=0):
             ts.append((time.perf_counter() - t0) / REPS * 1e3)
         return float(np.median(ts))
 
-    def flash_local(qkv):
+    def flash_local(qkv, mask_blocks, cplan, cplan_t, hops_j, kb, vb):
         def f(c):
             qq, kk, vv = c
             out, lse = flash_geometric_attention_lse(
@@ -157,7 +160,7 @@ def run_case(N_s, deg, G, H, Dh, quick=False, seed=0):
                                     jnp.int32),
                         jnp.ones(len(rows), bool)))
 
-    def segment_fold(qkv):
+    def segment_fold(qkv, eq_d, ek_d, em_d, hop_coo, kb, vb):
         def f(c):
             qq, kk, vv = c
             out, lse = SP.edge_attention_partial(
@@ -178,8 +181,10 @@ def run_case(N_s, deg, G, H, Dh, quick=False, seed=0):
         c, _ = jax.lax.scan(one, qkv, jnp.arange(REPS))
         return c[0]
 
-    fl_ms = timeit(flash_local, (q, k, v))
-    sf_ms = timeit(segment_fold, (q, k, v))
+    fl_ms = timeit(flash_local, (q, k, v), mask_blocks, cplan, cplan_t,
+                   hops_j, kb, vb)
+    sf_ms = timeit(segment_fold, (q, k, v), eq_d, ek_d, em_d, hop_coo,
+                   kb, vb)
     return {
         "shard_nodes": N_s, "deg": deg, "shards_simulated": G,
         "band_width": W, "boundary_Bp": Bp,
