@@ -48,6 +48,11 @@ else:
     EPOCHS, SNAPSHOTS, SEEDS, RESTARTS = 16, 8, 5, 2
     POOLINGS = ("max", "logit")
 
+# calibration overrides (difficulty dials live in run_one)
+SEEDS = int(_os.environ.get("TGN_CAL_SEEDS", SEEDS))
+if _os.environ.get("TGN_CAL_POOL"):
+    POOLINGS = tuple(_os.environ["TGN_CAL_POOL"].split(","))
+
 
 def run_one(data_seed, pooling, dims=None):
     """One full train/eval at one data seed + pooling: build the
@@ -57,12 +62,23 @@ def run_one(data_seed, pooling, dims=None):
     import tempfile
     from tagan_tpu.train.metrics import calculate_metrics
     t0 = time.time()
+    # Round 5 (VERDICT r4 weak #4): the task is RE-ARMED off the
+    # ceiling — round 4's AUC 1.0000 +- 0.0001 could neither catch
+    # regressions nor rank readouts. Difficulty dials: weaker feature
+    # signature, an equal population of DECOY bursts (same activity
+    # spike, unshifted features, label 0 — kills the pure-activity
+    # shortcut), and 7% per-burst label noise (irreducible error).
+    shift = float(_os.environ.get("TGN_SHIFT", "1.0"))
+    decoys = int(_os.environ.get("TGN_DECOYS",
+                                 "90" if not QUICK else "12"))
+    lnoise = float(_os.environ.get("TGN_LNOISE", "0.07"))
     stream = create_tgn_synthetic(
         num_users=N_USERS, num_items=N_ITEMS, num_events=N_EVENTS,
         time_span=1e6, edge_feat_dim=4, state_change_rate=0.0,
         num_churn_bursts=90 if not QUICK else 12,
-        burst_len=48, burst_span=1e6 / 400.0, burst_feat_shift=4.0,
-        seed=data_seed)
+        burst_len=48, burst_span=1e6 / 400.0, burst_feat_shift=shift,
+        num_decoy_bursts=decoys, decoy_feat_shift=0.0,
+        burst_label_noise=lnoise, seed=data_seed)
     span = 1e6 / 200.0
     # quarter-span stride -> ~800 windows: test split n >= 200
     ds = stream_to_sequences(stream, num_snapshots=SNAPSHOTS,
@@ -183,7 +199,10 @@ def main():
     out = {
         "config": f"users={N_USERS} items={N_ITEMS} events={N_EVENTS} "
                   f"snapshots={SNAPSHOTS} maxdeg=16 hidden=64 "
-                  f"epochs={EPOCHS} restarts={RESTARTS}",
+                  f"epochs={EPOCHS} restarts={RESTARTS} "
+                  f"shift={_os.environ.get('TGN_SHIFT', '1.0')} "
+                  f"decoys={_os.environ.get('TGN_DECOYS', '90')} "
+                  f"label_noise={_os.environ.get('TGN_LNOISE', '0.07')}",
         "methodology": "per seed: independent stream + window split "
                        "(train 60% / val 10% / test 30%, n_test>=200), "
                        "RESTARTS restarts picked by val ROC-AUC, "
