@@ -182,3 +182,40 @@ def test_needle_task_not_all_positive_with_attention_pooling():
     assert tn > 0, "all-positive collapse (reference test_bias_fix.py)"
     assert tp > 0, "all-negative collapse"
     assert float(loss) < 0.5
+
+
+def test_difficulty_dials_decoys_and_label_noise():
+    """Round-5 re-arm (VERDICT r4 weak #4): decoy bursts carry the
+    activity spike WITHOUT the feature shift and label 0; per-burst
+    label noise silently unlabels whole real bursts; base events are
+    untouched."""
+    base = create_tgn_synthetic(
+        num_users=300, num_items=100, num_events=4000,
+        state_change_rate=0.0, num_churn_bursts=10, burst_len=20,
+        burst_feat_shift=3.0, seed=3)
+    armed = create_tgn_synthetic(
+        num_users=300, num_items=100, num_events=4000,
+        state_change_rate=0.0, num_churn_bursts=10, burst_len=20,
+        burst_feat_shift=3.0, num_decoy_bursts=10,
+        decoy_feat_shift=0.0, burst_label_noise=0.5, seed=3)
+    n_base = 4000
+    # decoys add events (the stream re-sorts by time, so select by
+    # label/feature, not position)
+    assert len(armed.src) == n_base + 20 * 20
+    assert len(base.src) == n_base + 10 * 20
+    lab = np.asarray(armed.label) > 0.5
+    feat_mean = np.asarray(armed.edge_feat).mean(axis=1)
+    # labeled positives are real bursts: features carry the shift
+    assert feat_mean[lab].mean() > 1.5
+    # shifted events ~= the 10 real bursts only (decoys stay ~N(0,1):
+    # P(per-event 4-dim mean > 1.5) ~ 0.1%) — the activity spike alone
+    # cannot separate classes
+    shifted = feat_mean > 1.5
+    assert 100 <= shifted.sum() <= 260
+    # label noise: whole real bursts silently unlabeled
+    pos_armed = float(lab.sum())
+    pos_base = float(np.asarray(base.label).sum())
+    assert 0 < pos_armed < pos_base
+    assert pos_armed % 20 == 0          # bursts flip together
+    # some SHIFTED events are unlabeled (the irreducible error)
+    assert (shifted & ~lab).sum() >= 20
