@@ -297,3 +297,34 @@ def test_export_artifact_hybrid_roundtrip(setup, _interp, tmp_path):
                     plan_pin=pin,
                     plan_kwargs=dict(band_width=3)).predict_proba(seqs)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_hybrid_biased_matches_direct(_interp):
+    """Round 5: serving the hybrid backend WITH edge features — the
+    biased compact-residual path (bias provenance hyb_res_cbid) runs
+    inside the Predictor's jitted forward and matches the direct
+    biased hybrid forward AND the dense double-softmax oracle."""
+    data = create_synthetic_data(
+        num_samples=5, num_nodes_range=(6, 9), node_feature_dim=8,
+        edge_feature_dim=4, sequence_length=4, num_classes=2, seed=13)
+    seqs = [s for s, _ in data]
+    cfg = tt.TAGANConfig(
+        hidden_dim=16, num_heads=2, num_layers=1, node_feature_dim=8,
+        edge_feature_dim=4, use_edge_features=True, output_dim=1,
+        loss_type="bce", dropout=0.0)
+    dense = TAGAN(cfg)
+    hyb = TAGAN(cfg.replace(spatial_backend="hybrid", remat=False))
+    params = dense.init(jax.random.key(3))
+    dims = tt.pad_dims_for(seqs)
+    pred = Predictor(hyb, params, dims=dims, batch_size=2,
+                     plan_kwargs=dict(band_width=3, block_m=8,
+                                      block_n=8))
+    p1 = pred.predict_proba(seqs)
+    T, N, E, Fe = dims
+    built = [tt.build_sequence(s, max_nodes=N, max_edges=max(E, 1),
+                               max_time=T, edge_feature_dim=Fe)
+             for s in seqs]
+    dense_ref = np.stack([
+        np.asarray(dense(params, s).predictions) for s in built])
+    np.testing.assert_allclose(p1.reshape(-1), dense_ref.reshape(-1),
+                               rtol=2e-4, atol=2e-5)
