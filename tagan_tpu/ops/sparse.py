@@ -300,7 +300,7 @@ def _pp_score_k(metric, q, k, inc, sigma, gamma, cov_inv, q_e=None):
 
 
 def _padded_partial_impl(metric, q, k, v, nbr, nval, kappa, sigma,
-                         gamma, cov_inv):
+                         gamma, cov_inv, with_edges=False):
     neg = jnp.asarray(NEG_INF, q.dtype)
     k_e, v_e = _pp_gather([k, v], nbr)              # ONE fused gather
     s = _pp_score_q(metric, q, k, nbr, sigma, gamma, cov_inv, k_e=k_e)
@@ -315,6 +315,8 @@ def _padded_partial_impl(metric, q, k, v, nbr, nval, kappa, sigma,
     pk = p if kappa is None else p * kappa
     out = jnp.sum(pk[..., None] * v_e, axis=-2)
     lse = jnp.where(dead, neg, m_safe + jnp.log(l_safe))
+    if with_edges:
+        return out, lse, k_e, v_e
     return out, lse
 
 
@@ -330,22 +332,23 @@ def _padded_partial(metric, q, k, v, nbr, nval, inc, inc_slot, ival,
 
 def _padded_partial_fwd(metric, q, k, v, nbr, nval, inc, inc_slot,
                         ival, kappa, sigma, gamma, cov_inv):
-    out, lse = _padded_partial_impl(metric, q, k, v, nbr, nval, kappa,
-                                    sigma, gamma, cov_inv)
+    # the fused neighbor gather rides the residuals: its ~table-size
+    # serialized indices (~20-30 ns each) cost more to replay in
+    # backward than the [H, N, dmax, 2D] buffer costs to hold
+    out, lse, k_e, v_e = _padded_partial_impl(
+        metric, q, k, v, nbr, nval, kappa, sigma, gamma, cov_inv,
+        with_edges=True)
     res = (q, k, v, nbr, nval, inc, inc_slot, ival, kappa, sigma,
-           gamma, cov_inv, out, lse)
+           gamma, cov_inv, out, lse, k_e, v_e)
     return (out, lse), res
 
 
 def _padded_partial_bwd(metric, res, cts):
     (q, k, v, nbr, nval, inc, inc_slot, ival, kappa, sigma, gamma,
-     cov_inv, out, lse) = res
+     cov_inv, out, lse, k_e, v_e) = res
     dout, dlse = cts
     neg = jnp.asarray(NEG_INF, q.dtype)
     delta = jnp.sum(dout * out, axis=-1)            # [H, N] = dout.out
-
-    # -- query walk: recompute scores, get ds -> (dq, dsigma, ...) ----
-    k_e, v_e = _pp_gather([k, v], nbr)              # ONE fused gather
 
     def score_q(qq, sg, gm, cv):
         return _pp_score_q(metric, qq, k, nbr, sg, gm, cv, k_e=k_e)
