@@ -567,13 +567,25 @@ class TAGAN:
                 # as a remat residual so the backward does not pay the
                 # E-sized scatters again. Residual bias for all layers
                 # rides one gather through the compact provenance.
-                P = S * BM * BN
-                pos = jnp.where(
-                    bslot_t >= 0,
-                    bslot_t * (BM * BN) + (eq_t % BM) * BN
-                    + ek_t % BN, P)
                 from jax.ad_checkpoint import checkpoint_name
-                bbs = _scatter_bias_store(bst, pos, P)      # [L, P]
+                P = S * BM * BN
+                if P < 2 ** 31 - 1:
+                    pos = jnp.where(
+                        bslot_t >= 0,
+                        bslot_t * (BM * BN) + (eq_t % BM) * BN
+                        + ek_t % BN, P)
+                    bbs = _scatter_bias_store(bst, pos, P)  # [L, P]
+                else:
+                    # flat positions overflow int32 past ~8K slots
+                    # (the multi-million-node regime): fall back to
+                    # per-layer 3D scatters
+                    sl = jnp.where(bslot_t >= 0, bslot_t, S)
+                    bbs = jnp.stack([
+                        jnp.zeros((S, BM, BN), bst.dtype).at[
+                            sl, eq_t % BM, ek_t % BN].add(
+                            jnp.where(bslot_t >= 0, bst[..., l],
+                                      0.0), mode="drop").reshape(-1)
+                        for l in range(bst.shape[-1])])
                 bbs = checkpoint_name(bbs, "bias_store")
                 if biased_compact:
                     rbc_all = [jnp.where(
