@@ -896,6 +896,73 @@ def compact_padded_residual(eq: np.ndarray, ek: np.ndarray,
     return buckets, caps
 
 
+def compact_bipartite_edges(eq: np.ndarray, ek: np.ndarray,
+                            em: np.ndarray, n_q: int, n_k: int,
+                            caps: Optional[list] = None,
+                            dims: Optional[list] = None,
+                            max_buckets: int = 3):
+    """Degree-bucketed COMPACT bipartite tables (round 5): the
+    bipartite analog of `compact_padded_residual` for the ring's
+    boundary hop folds. `pad_bipartite_edges`' [n_q, dmax] layout pays
+    n_q * dmax serialized gather indices for an edge set that can be
+    1000x smaller (at a 131K shard: ~390K table slots per hop for
+    ~15K cross edges); bucketing queries by degree and compacting rows
+    to ACTIVE queries brings gather work to ~1.5x the edge count.
+    Keys stay uncompacted (they index the circulating boundary
+    compaction [n_k], already small).
+
+    Returns (buckets, caps): per-bucket 6-tuples
+      (qid i32[Na], nbr i32[Na, cap], nval, inc i32[n_k, dt],
+       inc_slot, ival)
+    with nbr indexing [0, n_k) and inc indexing the bucket's COMPACT
+    query rows. ``caps``/``dims`` (per-bucket (Na, dt) pairs) pin
+    static sizes across snapshots/shards; sentinel qid rows = n_q."""
+    eq = np.asarray(eq)
+    ek = np.asarray(ek)
+    em = np.asarray(em).astype(bool)
+    vq, vk = eq[em], ek[em]
+    counts = np.bincount(vq, minlength=n_q)
+    if caps is None:
+        caps = _bucket_caps(counts, max_buckets)
+    elif counts.max(initial=0) > caps[-1]:
+        raise ValueError(
+            f"bipartite query degree {int(counts.max())} exceeds the "
+            f"largest bucket cap {caps[-1]}")
+    buckets = []
+    lo = 0
+    for b, cap in enumerate(caps):
+        sel_q = (counts > lo) & (counts <= cap)
+        lo = cap
+        qid = np.nonzero(sel_q)[0].astype(np.int32)
+        e_sel = sel_q[vq]
+        bq, bk = vq[e_sel], vk[e_sel]
+        q_pos = np.full(n_q, -1, np.int64)
+        q_pos[qid] = np.arange(len(qid))
+        if dims is not None:
+            Na, dt = dims[b]
+            if len(qid) > Na:
+                raise ValueError("compact bipartite bucket exceeds "
+                                 "pinned dims")
+        else:
+            Na, dt = len(qid), None
+        nbr, nval, inc, inc_slot, ival = pad_bipartite_edges(
+            q_pos[bq], bk, np.ones(len(bq), bool),
+            max(Na, 1), max(n_k, 1), dmax=cap, dmax_t=dt)
+
+        def _pad_rows_(a, n, fill=0):
+            if a.shape[0] >= n:
+                return a
+            pad = np.full((n - a.shape[0],) + a.shape[1:], fill,
+                          a.dtype)
+            return np.concatenate([a, pad])
+        Na = max(Na, 1)
+        buckets.append((_pad_rows_(qid, Na, n_q).astype(np.int32),
+                        _pad_rows_(nbr, Na),
+                        _pad_rows_(nval, Na, False),
+                        inc, inc_slot, ival))
+    return buckets, caps
+
+
 def _rows_plan(occ_mat: np.ndarray, W: int):
     """Host-side compacted walk plan from an occupancy matrix: for each
     row, the occupied column indices (padded by repeating the last — the

@@ -464,6 +464,56 @@ def edge_attention_partial_padded_compact(
     return out, lse
 
 
+def edge_attention_partial_bipartite_compact(
+    metric: str,
+    q: jax.Array,                    # [H, n_q, D]
+    k: jax.Array, v: jax.Array,      # [H, n_k, D] (e.g. a circulating
+                                     # boundary compaction)
+    buckets,         # from core.graph.compact_bipartite_edges
+    *,
+    sigma=None, gamma=None, cov_inv=None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+):
+    """`edge_attention_partial` over a BIPARTITE edge set on
+    degree-bucketed compact tables (round 5 — the ring's boundary hop
+    folds): queries index q's [n_q] rows, keys index k/v's [n_k] rows;
+    gather work ~1.5x the edge count instead of n_q * dmax. Buckets
+    partition the query set, so partials combine by row-disjoint
+    union. Returns ``(out [H, n_q, Dv], lse [H, n_q])`` with LSE on
+    the csr dead-row convention."""
+    H, Nq, D = q.shape
+    Dv = v.shape[-1]
+    acc = jnp.concatenate(
+        [jnp.zeros((Nq, H * Dv), q.dtype),
+         jnp.full((Nq, H), NEG_INF, q.dtype)], axis=-1)
+    sg = sigma if sigma is not None else jnp.ones((H,), q.dtype)
+    gm = gamma if gamma is not None else jnp.ones((H,), q.dtype)
+    cv = cov_inv if cov_inv is not None else jnp.broadcast_to(
+        jnp.eye(D, dtype=q.dtype), (H, D, D))
+    for b, (qid, nbr, nval, inc, inc_slot, ival) in enumerate(buckets):
+        (q_c,) = _pp_gather([q], jnp.minimum(qid, Nq - 1)[:, None])
+        q_c = q_c[:, :, 0]
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            keep_p = 1.0 - dropout_rate
+            mk = jax.random.bernoulli(
+                jax.random.fold_in(dropout_rng, b), keep_p,
+                (H,) + tuple(nbr.shape))
+            kappa = jnp.where(mk, 1.0 / keep_p, 0.0)
+        else:
+            kappa = None
+        out_c, lse_c = _padded_partial(
+            metric, q_c, k, v, nbr, nval, inc, inc_slot, ival,
+            kappa, sg, gm, cv)
+        val = jnp.concatenate(
+            [jnp.moveaxis(out_c, 0, 1).reshape(qid.shape[0], H * Dv),
+             lse_c.T], axis=-1)
+        acc = acc.at[qid].set(val, mode="drop")
+    out = jnp.moveaxis(acc[:, :H * Dv].reshape(Nq, H, Dv), 1, 0)
+    lse = acc[:, H * Dv:].T
+    return out, lse
+
+
 def edge_attention_partial_padded(
     metric: str,
     q: jax.Array, k: jax.Array, v: jax.Array,   # [H, N, D]

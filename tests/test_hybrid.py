@@ -891,3 +891,62 @@ def test_compact_bucketed_residual_matches_coo():
             dropout_rng=jax.random.key(6))[0] ** 2))(q)
     assert np.isfinite(np.asarray(gd)).all()
     assert float(jnp.sum(jnp.abs(gd))) > 0
+
+
+def test_compact_bipartite_matches_coo():
+    """Round-5 ring-fold layout: the degree-bucketed compact BIPARTITE
+    tables == the COO partial over the same bipartite edge set — out,
+    lse, dead rows, grads; dropout stochastic + finite."""
+    from tagan_tpu.core.graph import compact_bipartite_edges
+    rng = np.random.default_rng(91)
+    Nq, Nk, H, Dh, E = 140, 37, 2, 8, 300
+    eq = rng.integers(0, Nq, E)
+    ek = rng.integers(0, Nk, E)
+    eq[:40] = 7                        # hub for degree spread
+    em = rng.random(E) < 0.85
+    q = jnp.asarray(rng.standard_normal((H, Nq, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((H, Nk, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((H, Nk, Dh)), jnp.float32)
+    buckets, caps = compact_bipartite_edges(eq, ek, em, Nq, Nk)
+    assert len(caps) >= 2
+    bj = tuple(tuple(jnp.asarray(a) for a in b) for b in buckets)
+
+    def f_c(q, k, v):
+        out, lse = S.edge_attention_partial_bipartite_compact(
+            "scaled_dot_product", q, k, v, bj)
+        live = jnp.abs(lse) < 1e29
+        return out, lse, jnp.sum(out ** 2) + jnp.sum(
+            jnp.where(live, lse, 0.0) ** 2)
+
+    def f_coo(q, k, v):
+        out, lse = S.edge_attention_partial(
+            "scaled_dot_product", q, k, v, jnp.asarray(eq, jnp.int32),
+            jnp.asarray(ek, jnp.int32), jnp.asarray(em), Nq)
+        live = jnp.abs(lse) < 1e29
+        return out, lse, jnp.sum(out ** 2) + jnp.sum(
+            jnp.where(live, lse, 0.0) ** 2)
+
+    o1, l1, _ = f_coo(q, k, v)
+    o2, l2, _ = f_c(q, k, v)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=1e-5, atol=1e-6)
+    live = np.abs(np.asarray(l1)) < 1e29
+    np.testing.assert_allclose(np.asarray(l2)[live],
+                               np.asarray(l1)[live], rtol=1e-5,
+                               atol=1e-6)
+    assert np.array_equal(np.abs(np.asarray(l2)) >= 1e29, ~live)
+    g1 = jax.grad(lambda *a: f_coo(*a)[2], argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: f_c(*a)[2], argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+    det = f_c(q, k, v)[0]
+    dr = S.edge_attention_partial_bipartite_compact(
+        "scaled_dot_product", q, k, v, bj, dropout_rate=0.4,
+        dropout_rng=jax.random.key(5))[0]
+    assert not np.allclose(np.asarray(det), np.asarray(dr), atol=1e-5)
+    gd = jax.grad(lambda qq: jnp.sum(
+        S.edge_attention_partial_bipartite_compact(
+            "scaled_dot_product", qq, k, v, bj, dropout_rate=0.4,
+            dropout_rng=jax.random.key(6))[0] ** 2))(q)
+    assert np.isfinite(np.asarray(gd)).all()
