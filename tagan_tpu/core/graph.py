@@ -89,6 +89,13 @@ class SnapshotSequence:
     # dist.edge_partition.make_boundary_ring_flash_attention.
     ring_flash_diag: Optional[Tuple[jax.Array, ...]] = None
     ring_flash_off: Optional[Tuple[jax.Array, ...]] = None
+    # compact bipartite boundary-fold structures (round 5): tuple of
+    # per-bucket 6-tuples (qid, nbr, nval, inc, inc_slot, ival), each
+    # [T, G, G, ...] — the unbiased flash-local folds prefer these
+    # over the padded ring_flash_off tables (gather work ~1.5x the
+    # cross-edge count instead of per*dmax per hop)
+    ring_flash_off_c: Optional[Tuple[Tuple[jax.Array, ...], ...]] = \
+        None
     # hybrid band+residual plan (set by `with_hybrid_plan`, consumed by
     # ``spatial_backend="hybrid"``): per snapshot, the near-diagonal
     # BAND edges (incl. self loops) as a compact occupied-block mask
@@ -280,17 +287,24 @@ class SnapshotSequence:
                     max_boundary=max_boundary)
                 bnd_t.append(bidx)
                 ek_t[t] = ek_loc
-        rf_diag = rf_off = None
+        rf_diag = rf_off = rf_off_c = None
+        rf_off_c = None
         if boundary and (local_flash is None or local_flash):
-            lf_dims = None
+            lf_dims = lf_dims_c = None
             if pin is not None and pin.get("lf") is not None:
                 lf = pin["lf"]
                 lf_dims = (lf["S"], lf["W"], lf["Wt"], lf["dmax"],
                            lf["dmax_t"])
-            rf_diag, rf_off = _ring_flash_structs(
+                # pinned WITHOUT compact caps (e.g. a merge over
+                # mixed caps dropped them): skip the compact build so
+                # per-sequence dims cannot diverge under one pin
+                lf_dims_c = ((lf["caps_c"], lf["cdims_c"])
+                             if lf.get("caps_c") is not None
+                             else "skip")
+            rf_diag, rf_off, rf_off_c = _ring_flash_structs(
                 eq_t, ek_t, em_t, N, num_shards, max_boundary,
                 local_block_m, local_block_n, dims=lf_dims,
-                es_t=es_t)
+                es_t=es_t, dims_c=lf_dims_c)
         return dataclasses.replace(
             self,
             ring_eq=jnp.asarray(np.stack(eq_t)),
@@ -300,7 +314,8 @@ class SnapshotSequence:
             else jnp.asarray(np.stack(bnd_t)),
             ring_esrc=jnp.asarray(np.stack(es_t)),
             ring_flash_diag=rf_diag,
-            ring_flash_off=rf_off)
+            ring_flash_off=rf_off,
+            ring_flash_off_c=rf_off_c)
 
 
     def with_hybrid_plan(self, band_width: Optional[int] = None,
@@ -533,7 +548,7 @@ class SnapshotSequence:
 
 def _ring_flash_structs(eq_t, ek_t, em_t, N, G, Bp,
                         block_m=None, block_n=None, dims=None,
-                        es_t=None):
+                        es_t=None, dims_c=None):
     """Host-side flash-local ring structures (with_ring_plan docstring):
     per (t, shard) compact occupied-block structure for the diagonal
     bucket (shard-local coordinates; ek already localized by
@@ -643,7 +658,71 @@ def _ring_flash_structs(eq_t, ek_t, em_t, N, G, Bp,
                            deslot))
     off = tuple(jnp.asarray(a)
                 for a in (onbr, onval, oinc, oincs, oival, obid))
-    return diag, off
+
+    # compact bipartite structures for the UNBIASED boundary folds
+    # (round 5): the padded [per, dmax] tables pay per*dmax serialized
+    # gather indices per hop for edge sets ~25x smaller at scale —
+    # degree-bucketed query compaction brings it to ~1.5x the edges.
+    # Caps shared across (t, gq, gk) so the per-bucket dims pin.
+    if dims_c == "skip":
+        return diag, off, None
+    pools = []
+    for t in range(T):
+        eqt, emt = np.asarray(eq_t[t]), np.asarray(em_t[t])
+        for g in range(G):
+            for gk in range(G):
+                if gk == g:
+                    continue
+                mo = emt[g, gk]
+                pools.append(np.bincount(eqt[g, gk][mo] - g * per,
+                                         minlength=per))
+    if dims_c is not None:
+        caps_c, cdims = dims_c
+        caps_c = list(caps_c)
+        cdims = [tuple(d) for d in cdims]
+    else:
+        caps_c = _bucket_caps(np.concatenate(pools)) if pools else [1]
+        cdims = None
+        for t in range(T):
+            eqt, ekt, emt = (np.asarray(a) for a in
+                             (eq_t[t], ek_t[t], em_t[t]))
+            for g in range(G):
+                for gk in range(G):
+                    if gk == g:
+                        continue
+                    bks, _ = compact_bipartite_edges(
+                        eqt[g, gk] - g * per, ekt[g, gk], emt[g, gk],
+                        per, Bp, caps=caps_c)
+                    dt_ = [(b[0].shape[0], b[3].shape[1])
+                           for b in bks]
+                    cdims = dt_ if cdims is None else [
+                        tuple(max(a, c) for a, c in zip(x, y))
+                        for x, y in zip(cdims, dt_)]
+        if cdims is None:
+            cdims = [(1, 1) for _ in caps_c]
+    oc = [(np.full((T, G, G, na), per, np.int32),
+           np.zeros((T, G, G, na, cap), np.int32),
+           np.zeros((T, G, G, na, cap), bool),
+           np.zeros((T, G, G, Bp, dt_), np.int32),
+           np.zeros((T, G, G, Bp, dt_), np.int32),
+           np.zeros((T, G, G, Bp, dt_), bool))
+          for cap, (na, dt_) in zip(caps_c, cdims)]
+    for t in range(T):
+        eqt, ekt, emt = (np.asarray(a) for a in
+                         (eq_t[t], ek_t[t], em_t[t]))
+        for g in range(G):
+            for gk in range(G):
+                if gk == g:
+                    continue
+                bks, _ = compact_bipartite_edges(
+                    eqt[g, gk] - g * per, ekt[g, gk], emt[g, gk],
+                    per, Bp, caps=caps_c, dims=cdims)
+                for b, bk in enumerate(bks):
+                    for i in range(6):
+                        a = np.asarray(bk[i])
+                        oc[b][i][t, g, gk, :a.shape[0]] = a
+    off_c = tuple(tuple(jnp.asarray(a) for a in b) for b in oc)
+    return diag, off, off_c
 
 
 def hybrid_plan_dims(seq: SnapshotSequence) -> dict:
@@ -689,7 +768,14 @@ def ring_plan_dims(seq: SnapshotSequence) -> dict:
             W=int(seq.ring_flash_diag[1].shape[3]),
             Wt=int(seq.ring_flash_diag[4].shape[3]),
             dmax=int(seq.ring_flash_off[0].shape[-1]),
-            dmax_t=int(seq.ring_flash_off[2].shape[-1]))
+            dmax_t=int(seq.ring_flash_off[2].shape[-1]),
+            caps_c=None, cdims_c=None)
+        if seq.ring_flash_off_c is not None:
+            d["lf"]["caps_c"] = [int(b[1].shape[-1])
+                                 for b in seq.ring_flash_off_c]
+            d["lf"]["cdims_c"] = [(int(b[0].shape[-1]),
+                                   int(b[3].shape[-1]))
+                                  for b in seq.ring_flash_off_c]
     return d
 
 
@@ -713,6 +799,16 @@ def merge_ring_dims(dims: Sequence[dict]) -> dict:
         else:
             for k in ("S", "W", "Wt", "dmax", "dmax_t"):
                 out["lf"][k] = max(out["lf"][k], d["lf"][k])
+            a, b = out["lf"].get("caps_c"), d["lf"].get("caps_c")
+            if a is None or b is None or list(a) != list(b):
+                # mixed compact caps: keep flash-local, drop the
+                # compact fold tables (model falls back to padded)
+                out["lf"]["caps_c"] = out["lf"]["cdims_c"] = None
+            else:
+                out["lf"]["cdims_c"] = [
+                    tuple(max(x, y) for x, y in zip(p_, q_))
+                    for p_, q_ in zip(out["lf"]["cdims_c"],
+                                      d["lf"]["cdims_c"])]
     return out
 
 

@@ -784,6 +784,91 @@ def make_boundary_ring_flash_attention(mesh: Mesh, metric: str, H: int,
                          out_specs=node_spec, check_vma=False)
 
 
+def make_boundary_ring_flash_attention_compact(
+        mesh: Mesh, metric: str, H: int, N: int, D: int,
+        n_buckets: int, dropout_rate: float = 0.0):
+    """Flash-local boundary ring with COMPACT bipartite hop folds
+    (round 5): like `make_boundary_ring_flash_attention` but the g-1
+    off-diagonal folds run on degree-bucketed compact tables
+    (`ops.sparse.edge_attention_partial_bipartite_compact`) instead of
+    the padded [per, dmax] layout — per-hop gather work ~1.5x the
+    cross-edge count instead of per*dmax (measured ~25x padding at a
+    131K shard). Bit-compatible with the padded variant (union-exact
+    lse merges; COO-exactness tested at the op level).
+
+    Returned signature (one snapshot's slice):
+        fn(q, k, v,
+           dmask, djl, djc, djs, dil, dic, dis,     # diag (7)
+           offc,                                    # nested buckets
+           bnd_idx, sigma, gamma, cov_inv [, seeds])
+        -> [H, N, D] context (sharded by query owner)
+    ``offc`` is `SnapshotSequence.ring_flash_off_c`'s per-snapshot
+    slice (tuple of per-bucket 6-tuples, leading [G, G] axes). In
+    train mode ``seeds`` i32[G] drives both the diag kernel's hash
+    dropout and the folds' per-hop/bucket keep draws."""
+    from ..ops import sparse as SP
+    from ..ops.pallas.flash_geometric import (MXU_METRICS,
+                                              flash_geometric_attention_lse)
+    if metric not in MXU_METRICS:
+        raise NotImplementedError(metric)
+    g = mesh.shape[GRAPH_AXIS]
+    assert N % g == 0, (N, g)
+    perm = [(i, (i + 1) % g) for i in range(g)]
+
+    node_spec = P(None, GRAPH_AXIS, None)
+    g1 = lambda extra: P(*((GRAPH_AXIS,) + (None,) * extra))  # noqa: E731
+    rep = P()
+
+    def local(q_l, k_l, v_l, dmask_l, djl_l, djc_l, djs_l, dil_l,
+              dic_l, dis_l, offc_l, bidx_l, sigma, gamma, cov_inv,
+              seeds_l=None):
+        my = jax.lax.axis_index(GRAPH_AXIS)
+        bm = dmask_l.shape[-2]
+        bn = dmask_l.shape[-1]
+        scale = sigma if metric == "gaussian_kernel" else gamma
+        seed0 = None if seeds_l is None else seeds_l
+        out0, lse0 = flash_geometric_attention_lse(
+            q_l, k_l, v_l, dmask_l[0], metric=metric,
+            scale_param=scale, block_m=bm, block_n=bn,
+            plan=(djl_l[0], djc_l[0], djs_l[0]),
+            plan_t=(dil_l[0], dic_l[0], dis_l[0]),
+            dropout_rate=dropout_rate, dropout_seed=seed0)
+
+        kb = jnp.take(k_l, bidx_l[0], axis=1)      # [H, Bp, D]
+        vb = jnp.take(v_l, bidx_l[0], axis=1)
+
+        def body(carry, step):
+            out, lse, kc, vc = carry
+            kc = jax.lax.ppermute(kc, GRAPH_AXIS, perm)
+            vc = jax.lax.ppermute(vc, GRAPH_AXIS, perm)
+            src = jax.lax.rem(my - step + g, g)
+            buckets = [tuple(a[0, src] for a in b) for b in offc_l]
+            rng = None
+            if seeds_l is not None and dropout_rate > 0.0:
+                rng = jax.random.fold_in(
+                    jax.random.key(seeds_l[0]), step)
+            part = SP.edge_attention_partial_bipartite_compact(
+                metric, q_l, kc, vc, buckets, sigma=sigma,
+                gamma=gamma, cov_inv=cov_inv,
+                dropout_rate=dropout_rate, dropout_rng=rng)
+            out, lse = SP.merge_attention_partials([(out, lse), part])
+            return (out, lse, kc, vc), 0
+
+        (out, _, _, _), _ = jax.lax.scan(
+            body, (out0, lse0, kb, vb), jnp.arange(1, g))
+        return out
+
+    offc_spec = tuple((g1(2), g1(3), g1(3), g1(3), g1(3), g1(3))
+                      for _ in range(n_buckets))
+    specs = (node_spec, node_spec, node_spec,
+             g1(3), g1(2), g1(1), g1(2), g1(2), g1(1), g1(2),
+             offc_spec, g1(1), rep, rep, rep)
+    if dropout_rate > 0.0:
+        specs = specs + (P(GRAPH_AXIS),)
+    return jax.shard_map(local, mesh=mesh, in_specs=specs,
+                         out_specs=node_spec, check_vma=False)
+
+
 def make_boundary_ring_flash_biased_attention(mesh: Mesh, metric: str,
                                               H: int, N: int, D: int,
                                               dropout_rate: float = 0.0):

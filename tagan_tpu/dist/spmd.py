@@ -66,13 +66,21 @@ def batch_specs(mesh: Mesh,
     if batch.ring_flash_off is not None:
         extras["ring_flash_off"] = tuple(
             P(d, None, g) for _ in batch.ring_flash_off)
+    if batch.ring_flash_off_c is not None:
+        extras["ring_flash_off_c"] = tuple(
+            tuple(P(d, None, g) for _ in b)
+            for b in batch.ring_flash_off_c)
     for f in ("hyb_mask_blocks", "hyb_band_slot", "hyb_res_bid"):
         if getattr(batch, f) is not None:
             extras[f] = P(d)
-    for f in ("hyb_plan", "hyb_plan_t", "hyb_res", "hyb_res_pad"):
+    for f in ("hyb_plan", "hyb_plan_t", "hyb_res", "hyb_res_pad",
+              "hyb_res_cbid"):
         val = getattr(batch, f)
         if val is not None:
             extras[f] = tuple(P(d) for _ in val)
+    if batch.hyb_res_cpad is not None:
+        extras["hyb_res_cpad"] = tuple(
+            tuple(P(d) for _ in b) for b in batch.hyb_res_cpad)
     return _dc.replace(specs, **extras)
 
 

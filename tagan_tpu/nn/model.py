@@ -801,10 +801,22 @@ class TAGAN:
         c = self.config
         from ..dist.edge_partition import (
             make_boundary_ring_flash_attention,
+            make_boundary_ring_flash_attention_compact,
             make_boundary_ring_flash_biased_attention)
+        # unbiased folds prefer the compact bipartite tables (round 5:
+        # per-hop gather work ~1.5x the cross edges instead of
+        # per*dmax); the biased path keeps the padded tables its obid
+        # provenance is built for
+        compact_fold = (not want_edge_bias
+                        and seq.ring_flash_off_c is not None)
         if want_edge_bias:
             ring_fn = make_boundary_ring_flash_biased_attention(
                 self.mesh, metric, c.num_heads, seq.x.shape[1], Dh,
+                dropout_rate=rate)
+        elif compact_fold:
+            ring_fn = make_boundary_ring_flash_attention_compact(
+                self.mesh, metric, c.num_heads, seq.x.shape[1], Dh,
+                n_buckets=len(seq.ring_flash_off_c),
                 dropout_rate=rate)
         else:
             ring_fn = make_boundary_ring_flash_attention(
@@ -823,12 +835,15 @@ class TAGAN:
             nm = next(it)
             bidx = next(it)
             d7 = tuple(next(it) for _ in range(7))
+            offc = None
             if want_edge_bias:
                 eslot = next(it)
                 o5 = tuple(next(it) for _ in range(5))
                 obid = next(it)
                 eq_t, ek_t, em_t, esrc_t, ea_t = (
                     next(it) for _ in range(5))
+            elif compact_fold:
+                offc = next(it)
             else:
                 o5 = tuple(next(it) for _ in range(5))
             rt = next(it) if step_rngs is not None else None
@@ -838,11 +853,11 @@ class TAGAN:
                 if r_att is not None:
                     r1, r2 = jax.random.split(r_att)
                     keep_p = 1.0 - c.dropout
+                    seeds = jax.random.randint(
+                        r1, (g,) if b_all is None else (g, 2), 0,
+                        jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
                     if b_all is not None:
                         r2a, r2b = jax.random.split(r2)
-                        seeds = jax.random.randint(
-                            r1, (g, 2), 0, jnp.iinfo(jnp.int32).max,
-                            dtype=jnp.int32)
                         kap1 = jnp.where(
                             jax.random.bernoulli(r2a, keep_p,
                                                  (H, g, g, per, dmax)),
@@ -852,10 +867,11 @@ class TAGAN:
                                                  (H, g, g, per, dmax)),
                             1.0 / keep_p, 0.0).astype(qh.dtype)
                         extra = (seeds, kap1, kap2)
+                    elif offc is not None:
+                        # compact folds draw their keep factors
+                        # in-shard from the per-shard seed
+                        extra = (seeds,)
                     else:
-                        seeds = jax.random.randint(
-                            r1, (g,), 0, jnp.iinfo(jnp.int32).max,
-                            dtype=jnp.int32)
                         kap = jnp.where(
                             jax.random.bernoulli(r2, keep_p,
                                                  (H, g, g, per, dmax)),
@@ -865,6 +881,9 @@ class TAGAN:
                     return ring_fn(qh, kh, vh, *d7, eslot, *o5, obid,
                                    eq_t, ek_t, em_t, esrc_t, b_all,
                                    bidx, sig, gam, cov, *extra)
+                if offc is not None:
+                    return ring_fn(qh, kh, vh, *d7, offc, bidx, sig,
+                                   gam, cov, *extra)
                 return ring_fn(qh, kh, vh, *d7, *o5, bidx, sig, gam,
                                cov, *extra)
 
@@ -893,6 +912,9 @@ class TAGAN:
                     *seq.ring_flash_diag[:8], *seq.ring_flash_off[:6],
                     seq.ring_eq, seq.ring_ek, seq.ring_em,
                     seq.ring_esrc, ea_bias)
+        elif compact_fold:
+            args = (x, seq.node_mask, seq.ring_bnd_idx,
+                    *seq.ring_flash_diag[:7], seq.ring_flash_off_c)
         else:
             args = (x, seq.node_mask, seq.ring_bnd_idx,
                     *seq.ring_flash_diag[:7], *seq.ring_flash_off[:5])
